@@ -1,0 +1,154 @@
+"""Input / output adapters (reference pretraining/multimae/input_adapters.py
+and output_adapters_simple.py), re-expressed for TPU.
+
+Patchify is a reshape + one matmul instead of a strided conv (same linear
+map, MXU-friendly). Images are NHWC (TPU-native), where the reference uses
+NCHW.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.patches import conv_patch_embed, unpatchify
+from ..ops.posemb import build_2d_sincos_posemb, resize_posemb
+from .layers import ViTBlock, trunc_normal_init
+
+
+class PatchedInputAdapter(nn.Module):
+    """Patchify + fixed 2D sin-cos posemb (input_adapters.py:27-119).
+
+    Input [B, H, W, C] -> tokens [B, N_H*N_W, dim].
+    """
+
+    num_channels: int
+    patch_size: int = 16
+    image_size: int = 256
+    stride_level: int = 1
+    sincos_pos_emb: bool = True
+    learnable_pos_emb: bool = False
+
+    @property
+    def p(self) -> int:
+        return max(1, self.patch_size // self.stride_level)
+
+    @property
+    def num_patches(self) -> int:
+        n = self.image_size // self.patch_size
+        return n * n
+
+    @nn.compact
+    def __call__(self, x, dim_tokens: Optional[int] = None):
+        b, h, w, c = x.shape
+        assert c == self.num_channels
+        p = self.p
+        n_h, n_w = h // p, w // p
+        dim = dim_tokens
+        kernel = self.param(
+            "proj_kernel", nn.initializers.xavier_uniform(), (p * p * c, dim)
+        )
+        bias = self.param("proj_bias", nn.initializers.zeros, (dim,))
+        tokens = conv_patch_embed(x, kernel.astype(x.dtype), bias.astype(x.dtype), p)
+
+        hp = self.image_size // (self.stride_level * p)
+        if self.sincos_pos_emb and not self.learnable_pos_emb:
+            pos = build_2d_sincos_posemb(hp, hp, dim)
+        else:
+            pos = self.param("pos_emb", trunc_normal_init(0.02), (hp * hp, dim))
+        pos = resize_posemb(pos, (hp, hp), (n_h, n_w)).astype(x.dtype)
+        return tokens + pos[None]
+
+
+class SemSegInputAdapter(nn.Module):
+    """Class-embedding + patchify adapter for semantic-map modalities like the
+    Dynamic-World 'dnw' input (input_adapters.py:209-328)."""
+
+    num_classes: int
+    patch_size: int = 16
+    image_size: int = 256
+    stride_level: int = 1
+    dim_class_emb: int = 64
+
+    @property
+    def p(self) -> int:
+        return max(1, self.patch_size // self.stride_level)
+
+    @nn.compact
+    def __call__(self, x, dim_tokens: Optional[int] = None):
+        # x: [B, H, W] int class ids
+        b, h, w = x.shape
+        p = self.p
+        n_h, n_w = h // p, w // p
+        dim = dim_tokens
+        class_emb = self.param(
+            "class_emb", trunc_normal_init(0.02), (self.num_classes, self.dim_class_emb)
+        )
+        emb = jnp.take(class_emb, x, axis=0)  # [B, H, W, dim_class_emb]
+        kernel = self.param(
+            "proj_kernel",
+            nn.initializers.xavier_uniform(),
+            (p * p * self.dim_class_emb, dim),
+        )
+        bias = self.param("proj_bias", nn.initializers.zeros, (dim,))
+        tokens = conv_patch_embed(emb, kernel, bias, p)
+        hp = self.image_size // (self.stride_level * p)
+        pos = build_2d_sincos_posemb(hp, hp, dim)
+        pos = resize_posemb(pos, (hp, hp), (n_h, n_w))
+        return tokens + pos[None].astype(tokens.dtype)
+
+
+def fusion_posemb(num_fusion_tokens: int, dim: int, image_size: int, patch_size: int):
+    """FusionInputAdapter (input_adapters.py:121-206): adds the same fixed
+    2D sin-cos posemb to the learned fusion tokens, no projection."""
+    hp = image_size // patch_size
+    assert hp * hp == num_fusion_tokens, "fusion tokens must tile the patch grid"
+    return build_2d_sincos_posemb(hp, hp, dim)  # [F, dim]
+
+
+class SpatialOutputAdapter(nn.Module):
+    """Per-task reconstruction decoder over the fusion-token grid
+    (output_adapters_simple.py:33-188, the class used by all three pretrain
+    drivers, pretrain_mmae.py:39).
+
+    encoder fusion tokens [B, F, enc_dim] -> image [B, H, W, C]:
+      proj_context -> +task embedding -> depth x ViT blocks -> out_proj ->
+      un-patchify. No mask-token unshuffle: the queries ARE the fusion grid.
+    """
+
+    num_channels: int
+    patch_size: int = 16
+    image_size: int = 256
+    stride_level: int = 1
+    dim_tokens: int = 256
+    depth: int = 2
+    num_heads: int = 8
+    qkv_bias: bool = True
+
+    @property
+    def p(self) -> int:
+        return max(1, self.patch_size // self.stride_level)
+
+    @nn.compact
+    def __call__(self, encoder_tokens: jnp.ndarray, image_size: Optional[Tuple[int, int]] = None):
+        h, w = image_size or (self.image_size, self.image_size)
+        p = self.p
+        n_h = h // (self.stride_level * p)
+        n_w = w // (self.stride_level * p)
+
+        x = nn.Dense(
+            self.dim_tokens, kernel_init=nn.initializers.xavier_uniform(), name="proj_context"
+        )(encoder_tokens)
+        task_emb = self.param("task_emb", trunc_normal_init(0.02), (1, 1, self.dim_tokens))
+        x = x + task_emb.astype(x.dtype)
+        for i in range(self.depth):
+            x = ViTBlock(
+                num_heads=self.num_heads, qkv_bias=self.qkv_bias, norm_eps=1e-6, name=f"block{i}"
+            )(x)
+        x = nn.Dense(
+            self.num_channels * p * p,
+            kernel_init=nn.initializers.xavier_uniform(),
+            name="out_proj",
+        )(x)
+        return unpatchify(x, p, n_h, n_w, self.num_channels)

@@ -1,0 +1,323 @@
+"""Transformer building blocks (flax.linen).
+
+Semantics match the reference zorro utilities
+(downstream/instance_segmentation/modeling/multimae/zorro_utils.py — the
+syntactically valid copy; the pretraining copy ships a SyntaxError at
+zorro_utils.py:255) and the ViT primitives in
+pretraining/multimae/multimae_utils.py. Quirks preserved deliberately:
+
+  * ``ZorroAttention`` layer-norms its *query* input internally
+    (zorro_utils.py:176), so Block applies LayerNorm twice before attention
+    (zorro_utils.py:238). Context/keys are NOT normed when cross-attending.
+  * ``GEGLUFeedForward`` also begins with its own LayerNorm
+    (zorro_utils.py:121-128) — double-norm again inside Block.
+  * Bias-less LayerNorm: learned gamma only, beta fixed at zero
+    (zorro_utils.py:103-110).
+  * GELU is the exact (erf) variant, like torch F.gelu default.
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.attention import multihead_attention
+
+
+def xavier_uniform_fused(n_split: int) -> Callable:
+    """Xavier-uniform treating a fused projection (e.g. packed KV) as
+    ``n_split`` separate matrices (reference multimae_crossattn.py:141-150)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        fan_in, fan_out = shape[0], shape[1]
+        val = math.sqrt(6.0 / float(fan_out / n_split + fan_in))
+        return jax.random.uniform(key, shape, dtype, -val, val)
+
+    return init
+
+
+class BiaslessLayerNorm(nn.Module):
+    """LayerNorm with learned scale only (zorro_utils.py:103-110)."""
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        gamma = self.param("gamma", nn.initializers.ones, (dim,))
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + 1e-5)
+        return (y * gamma).astype(x.dtype)
+
+
+class LayerNorm(nn.Module):
+    """Standard LayerNorm with bias (torch nn.LayerNorm parity)."""
+
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        gamma = self.param("gamma", nn.initializers.ones, (dim,))
+        beta = self.param("beta", nn.initializers.zeros, (dim,))
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        return (y * gamma + beta).astype(x.dtype)
+
+
+def gelu(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+class Mlp(nn.Module):
+    """fc1 -> GELU -> fc2 (multimae_utils.py:138-155; dropout elided, p=0)."""
+
+    hidden_features: Optional[int] = None
+    out_features: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        hidden = self.hidden_features or dim
+        out = self.out_features or dim
+        x = nn.Dense(hidden, kernel_init=nn.initializers.xavier_uniform(), name="fc1")(x)
+        x = gelu(x)
+        x = nn.Dense(out, kernel_init=nn.initializers.xavier_uniform(), name="fc2")(x)
+        return x
+
+
+class GEGLUFeedForward(nn.Module):
+    """LayerNorm -> Dense(2*inner, no bias) -> GEGLU -> Dense(dim, no bias)
+    with inner = int(dim * mult * 2/3) (zorro_utils.py:115-128)."""
+
+    mult: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        inner = int(dim * self.mult * 2 / 3)
+        x = BiaslessLayerNorm(name="norm")(x)
+        x = nn.Dense(
+            inner * 2,
+            use_bias=False,
+            kernel_init=nn.initializers.xavier_uniform(),
+            name="proj_in",
+        )(x)
+        val, gate = jnp.split(x, 2, axis=-1)
+        x = gelu(gate) * val
+        x = nn.Dense(
+            dim,
+            use_bias=False,
+            kernel_init=nn.initializers.xavier_uniform(),
+            name="proj_out",
+        )(x)
+        return x
+
+
+class ZorroAttention(nn.Module):
+    """Masked MHA with internal query-side LayerNorm (zorro_utils.py:152-194).
+
+    q/kv/out projections are bias-free; heads*dim_head may differ from dim.
+    """
+
+    dim_head: int = 64
+    heads: int = 8
+
+    @nn.compact
+    def __call__(self, x, context=None, attn_mask=None):
+        inner = self.dim_head * self.heads
+        x = BiaslessLayerNorm(name="norm")(x)
+        kv_x = context if context is not None else x
+        q = nn.Dense(inner, use_bias=False, kernel_init=nn.initializers.xavier_uniform(), name="to_q")(x)
+        kv = nn.Dense(inner * 2, use_bias=False, kernel_init=xavier_uniform_fused(2), name="to_kv")(kv_x)
+        k, v = jnp.split(kv, 2, axis=-1)
+
+        def heads_split(t):
+            return t.reshape(*t.shape[:-1], self.heads, self.dim_head)
+
+        out = multihead_attention(
+            heads_split(q), heads_split(k), heads_split(v), mask=attn_mask
+        )
+        out = out.reshape(*out.shape[:-2], inner)
+        return nn.Dense(
+            x.shape[-1], use_bias=False, kernel_init=nn.initializers.xavier_uniform(), name="to_out"
+        )(out)
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth (zorro_utils.py:69-99)."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jnp.floor(keep + jax.random.uniform(rng, shape, x.dtype))
+        return x / keep * mask
+
+
+class EncoderBlock(nn.Module):
+    """Zorro-masked encoder block (zorro_utils.py:227-240)."""
+
+    dim_head: int = 64
+    heads: int = 8
+    ff_mult: int = 4
+    drop_path: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, attn_mask=None, deterministic: bool = True):
+        h = ZorroAttention(dim_head=self.dim_head, heads=self.heads, name="attn")(
+            BiaslessLayerNorm(name="norm1")(x), attn_mask=attn_mask
+        )
+        x = x + DropPath(self.drop_path, name="dp1")(h, deterministic)
+        h = GEGLUFeedForward(mult=self.ff_mult, name="mlp")(BiaslessLayerNorm(name="norm2")(x))
+        x = x + DropPath(self.drop_path, name="dp2")(h, deterministic)
+        return x
+
+
+class FusionBlock(nn.Module):
+    """Per-spatial-position cross-modal fusion (zorro_utils.py:243-258).
+
+    Input: [B, N, M, D] stacks (modalities..., fusion) per fusion-grid slot.
+    The reference attends over the M axis for every slot then keeps only the
+    fusion row; we compute attention for the fusion-row query only — bitwise
+    the same result at 1/M of the attention FLOPs.
+
+      fus = fus + attn(norm1(stack))[fusion row]
+      fus = fus + ff(norm2(fus))
+    """
+
+    dim_head: int = 64
+    heads: int = 8
+    ff_mult: int = 4
+
+    @nn.compact
+    def __call__(self, stack, key_valid=None):
+        b, n, m, d = stack.shape
+        inner = self.dim_head * self.heads
+        h = BiaslessLayerNorm(name="norm1")(stack)
+        # ZorroAttention inlined with fusion-row-only queries
+        h = BiaslessLayerNorm(name="attn_norm")(h)
+        q = nn.Dense(inner, use_bias=False, kernel_init=nn.initializers.xavier_uniform(), name="to_q")(
+            h[:, :, -1, :]
+        )  # [B, N, inner]
+        kv = nn.Dense(inner * 2, use_bias=False, kernel_init=xavier_uniform_fused(2), name="to_kv")(h)
+        k, v = jnp.split(kv, 2, axis=-1)  # [B, N, M, inner]
+
+        q = q.reshape(b * n, 1, self.heads, self.dim_head)
+        k = k.reshape(b * n, m, self.heads, self.dim_head)
+        v = v.reshape(b * n, m, self.heads, self.dim_head)
+        mask = None
+        if key_valid is not None:  # [B, N, M] bool
+            mask = key_valid.reshape(b * n, 1, 1, m)
+        out = multihead_attention(q, k, v, mask=mask)
+        out = out.reshape(b, n, inner)
+        out = nn.Dense(d, use_bias=False, kernel_init=nn.initializers.xavier_uniform(), name="to_out")(out)
+
+        fus = stack[:, :, -1, :] + out
+        fus = fus + GEGLUFeedForward(mult=self.ff_mult, name="mlp")(
+            BiaslessLayerNorm(name="norm2")(fus)
+        )
+        return fus
+
+
+class ViTSelfAttention(nn.Module):
+    """Fused-QKV self-attention (multimae_utils.py:158-182), used by the
+    reconstruction decoder transformer."""
+
+    num_heads: int = 8
+    qkv_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        b, n, c = x.shape
+        hd = c // self.num_heads
+        qkv = nn.Dense(
+            c * 3, use_bias=self.qkv_bias, kernel_init=xavier_uniform_fused(3), name="qkv"
+        )(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def hs(t):
+            return t.reshape(b, n, self.num_heads, hd)
+
+        out = multihead_attention(hs(q), hs(k), hs(v))
+        out = out.reshape(b, n, c)
+        return nn.Dense(c, kernel_init=nn.initializers.xavier_uniform(), name="proj")(out)
+
+
+class ViTBlock(nn.Module):
+    """Standard pre-norm ViT block (multimae_utils.py:217-232)."""
+
+    num_heads: int = 8
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = False
+    norm_eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        x = x + ViTSelfAttention(self.num_heads, self.qkv_bias, name="attn")(
+            LayerNorm(eps=self.norm_eps, name="norm1")(x)
+        )
+        x = x + Mlp(int(x.shape[-1] * self.mlp_ratio), name="mlp")(
+            LayerNorm(eps=self.norm_eps, name="norm2")(x)
+        )
+        return x
+
+
+class ViTCrossAttention(nn.Module):
+    """Cross-attention (multimae_utils.py:185-214)."""
+
+    num_heads: int = 8
+    qkv_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x, context):
+        b, n, c = x.shape
+        hd = c // self.num_heads
+        q = nn.Dense(c, use_bias=self.qkv_bias, kernel_init=nn.initializers.xavier_uniform(), name="q")(x)
+        kv = nn.Dense(c * 2, use_bias=self.qkv_bias, kernel_init=xavier_uniform_fused(2), name="kv")(context)
+        k, v = jnp.split(kv, 2, axis=-1)
+        m = context.shape[1]
+        out = multihead_attention(
+            q.reshape(b, n, self.num_heads, hd),
+            k.reshape(b, m, self.num_heads, hd),
+            v.reshape(b, m, self.num_heads, hd),
+        )
+        out = out.reshape(b, n, c)
+        return nn.Dense(c, kernel_init=nn.initializers.xavier_uniform(), name="proj")(out)
+
+
+class ViTDecoderBlock(nn.Module):
+    """Self-attn + cross-attn + MLP decoder block (multimae_utils.py:235-253)."""
+
+    num_heads: int = 8
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = False
+    norm_eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x, context):
+        x = x + ViTSelfAttention(self.num_heads, self.qkv_bias, name="self_attn")(
+            LayerNorm(eps=self.norm_eps, name="norm1")(x)
+        )
+        x = x + ViTCrossAttention(self.num_heads, self.qkv_bias, name="cross_attn")(
+            LayerNorm(eps=self.norm_eps, name="query_norm")(x),
+            LayerNorm(eps=self.norm_eps, name="context_norm")(context),
+        )
+        x = x + Mlp(int(x.shape[-1] * self.mlp_ratio), name="mlp")(
+            LayerNorm(eps=self.norm_eps, name="norm2")(x)
+        )
+        return x
+
+
+def trunc_normal_init(std: float = 0.02):
+    return nn.initializers.truncated_normal(stddev=std, lower=-2.0, upper=2.0)

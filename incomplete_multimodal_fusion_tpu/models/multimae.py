@@ -1,0 +1,284 @@
+"""MultiMAE incomplete-multimodal fusion encoder (flagship model).
+
+TPU-native re-design of the reference core model
+(pretraining/multimae/multimae_crossattn.py:37-545): learned fusion tokens,
+modality-typed Zorro-masked self-attention, and per-layer cross-modal fusion
+blocks, trained with random modality combinations.
+
+Key structural difference vs the reference (by design, see package README):
+the reference gathers visible tokens with data-dependent `nonzero` indexing
+(multimae_crossattn.py:402-415) and scatters them back inside every fusion
+block with in-place fancy indexing (:454-460). Here the forward uses a fixed
+``num_encoded_tokens``-slot packed layout + an inverse-permutation *gather*
+(no scatter at all), so any modality-dropout pattern — including fully
+missing modalities — runs in one compiled XLA program.
+
+Fusion modes (all reference variants share this one implementation):
+  * 'crossattn': per-layer FusionBlock + zorro Block (multimae_crossattn.py)
+  * 'zorro':     zorro Blocks only; fusion tokens join via masked self-attn
+                 (multimae.py:429-430)
+  * 'sup':       no fusion-token stream at all (multimae_sup.py)
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .. import modalities as modreg
+from ..ops.attention import (
+    multihead_attention,
+    packed_token_types,
+    packed_valid,
+    zorro_mask_from_types,
+)
+from ..ops.masking import MaskInfo
+from ..ops.posemb import build_2d_sincos_posemb
+from .adapters import PatchedInputAdapter, SemSegInputAdapter, SpatialOutputAdapter
+from .layers import (
+    BiaslessLayerNorm,
+    EncoderBlock,
+    FusionBlock,
+    Mlp,
+    ZorroAttention,
+    trunc_normal_init,
+)
+
+
+class MultiMAE(nn.Module):
+    in_domains: Tuple[str, ...] = ("s1", "s2", "dem")
+    out_domains: Tuple[str, ...] = ("s1", "s2", "dem")
+    image_size: int = 256
+    patch_size: int = 16
+    dim_tokens: int = 192
+    depth: int = 12
+    dim_head: int = 64
+    heads: int = 3
+    ff_mult: int = 4
+    num_fusion_tokens: int = 256
+    drop_path_rate: float = 0.0
+    fusion_mode: str = "crossattn"  # 'crossattn' | 'zorro' | 'sup'
+    # reconstruction decoder (reference pretrain_mmae.py:202-215 defaults)
+    decoder_dim: int = 256
+    decoder_depth: int = 2
+    decoder_num_heads: int = 8
+
+    @property
+    def num_patches(self) -> int:
+        n = self.image_size // self.patch_size
+        return n * n
+
+    @property
+    def fusion_type(self) -> int:
+        return len(self.in_domains)
+
+    def setup(self):
+        specs = {d: modreg.get(d) for d in self.in_domains}
+        in_ad = {}
+        for d, spec in specs.items():
+            if spec.adapter == "semseg":
+                in_ad[d] = SemSegInputAdapter(
+                    num_classes=spec.num_classes,
+                    patch_size=self.patch_size,
+                    image_size=self.image_size,
+                    stride_level=spec.stride_level,
+                    dim_class_emb=spec.dim_class_emb,
+                    name=f"input_adapter_{d}",
+                )
+            else:
+                in_ad[d] = PatchedInputAdapter(
+                    num_channels=spec.num_channels,
+                    patch_size=self.patch_size,
+                    image_size=self.image_size,
+                    stride_level=spec.stride_level,
+                    name=f"input_adapter_{d}",
+                )
+        self.input_adapters = in_ad
+        self.output_adapters = {
+            d: SpatialOutputAdapter(
+                num_channels=modreg.get(d).num_channels,
+                patch_size=self.patch_size,
+                image_size=self.image_size,
+                stride_level=modreg.get(d).stride_level,
+                dim_tokens=self.decoder_dim,
+                depth=self.decoder_depth,
+                num_heads=self.decoder_num_heads,
+                name=f"output_adapter_{d}",
+            )
+            for d in self.out_domains
+        }
+
+        if self.fusion_mode != "sup":
+            # assert matches reference multimae_crossattn.py:87
+            assert self.num_fusion_tokens == self.num_patches
+            self.fusion_tokens = self.param(
+                "fusion_tokens", trunc_normal_init(0.02), (1, self.num_fusion_tokens, self.dim_tokens)
+            )
+        # return tokens: one per (modality..., fusion) type (multimae_crossattn.py:93-99)
+        n_ret = len(self.in_domains) + 1
+        self.return_tokens = self.param(
+            "return_tokens", trunc_normal_init(0.02), (1, n_ret, self.dim_tokens)
+        )
+        # per-modality contrastive pool tokens keep the reference's plain
+        # randn init (multimae_crossattn.py:105-109 — never trunc_normal'd)
+        self.pool_tokens = {
+            d: self.param(f"return_token_{d}", nn.initializers.normal(1.0), (1, 1, self.dim_tokens))
+            for d in self.in_domains
+        }
+        self.mask_embedding = self.param(
+            "mask_embedding", nn.initializers.zeros, (1, self.num_fusion_tokens, self.dim_tokens)
+        )
+
+        self.attn_pool = ZorroAttention(dim_head=self.dim_head, heads=self.heads, name="attn_pool")
+        self.mlp = Mlp(hidden_features=int(self.dim_tokens * 4.0), name="mlp")
+        dpr = [self.drop_path_rate * i / max(self.depth - 1, 1) for i in range(self.depth)]
+        self.blocks = [
+            EncoderBlock(
+                dim_head=self.dim_head,
+                heads=self.heads,
+                ff_mult=self.ff_mult,
+                drop_path=dpr[i],
+                name=f"block{i}",
+            )
+            for i in range(self.depth)
+        ]
+        if self.fusion_mode == "crossattn":
+            self.fus_blocks = [
+                FusionBlock(
+                    dim_head=self.dim_head, heads=self.heads, ff_mult=self.ff_mult, name=f"fus_block{i}"
+                )
+                for i in range(self.depth)
+            ]
+        self.norm = BiaslessLayerNorm(name="norm")
+
+    def _fusion_grid(self, tokens, mask_info: MaskInfo, num_encoded_tokens: int):
+        """Rebuild the per-modality fusion grids [B, F, T, D] by inverse
+        gather (reference scatters into mask_embedding copies,
+        multimae_crossattn.py:454-462)."""
+        b = tokens.shape[0]
+        e = num_encoded_tokens
+        t = len(self.in_domains)
+        f = self.num_fusion_tokens
+        packed = tokens[:, :e, :]
+        slot = mask_info.ids_restore  # [B, T*F]: packed slot of each grid pos
+        gathered = jnp.take_along_axis(
+            packed, jnp.clip(slot, 0, e - 1)[..., None], axis=1
+        )  # [B, T*F, D]
+        use = (slot < e) & (slot < mask_info.num_visible[:, None])
+        mask_emb = jnp.tile(self.mask_embedding.astype(tokens.dtype), (1, t, 1))
+        grid = jnp.where(use[..., None], gathered, mask_emb)
+        grid = grid.reshape(b, t, f, -1).transpose(0, 2, 1, 3)  # [B, F, T, D]
+        return grid
+
+    def __call__(
+        self,
+        x: Dict[str, jnp.ndarray],
+        mask_info: MaskInfo,
+        num_encoded_tokens: int,
+        deterministic: bool = True,
+    ):
+        """Forward (reference multimae_crossattn.py:331-545).
+
+        x: {domain: [B, H, W, C]} NHWC (int map [B, H, W] for semseg domains).
+        Missing/dropped modalities still require an input array (zeros are
+        fine) — their tokens are computed but fully masked out; this is what
+        keeps the program shape-static under arbitrary dropout.
+        """
+        e = num_encoded_tokens
+        f = self.num_fusion_tokens
+        b = x[self.in_domains[0]].shape[0]
+
+        input_task_tokens = {
+            d: self.input_adapters[d](x[d], dim_tokens=self.dim_tokens)
+            for d in self.in_domains
+        }
+        dtype = input_task_tokens[self.in_domains[0]].dtype
+
+        # fusion tokens + posemb (FusionInputAdapter, input_adapters.py:185-206)
+        hp = self.image_size // self.patch_size
+        fus_pos = build_2d_sincos_posemb(hp, hp, self.dim_tokens)
+        fusion_tokens = (self.fusion_tokens + fus_pos[None]).astype(dtype)
+        fusion_tokens = jnp.broadcast_to(fusion_tokens, (b, f, self.dim_tokens))
+
+        # pack visible tokens (order groups them by modality, ascending index,
+        # matching the reference's torch.cat of per-modality visible tokens)
+        full = jnp.concatenate([input_task_tokens[d] for d in self.in_domains], axis=1)
+        keep = mask_info.order[:, :e]
+        packed = jnp.take_along_axis(full, keep[..., None], axis=1)  # [B, E, D]
+        tokens = jnp.concatenate([packed, fusion_tokens], axis=1)  # [B, E+F, D]
+
+        nums = tuple(self.num_patches for _ in self.in_domains)
+        types = packed_token_types(mask_info.order, nums, e, f, self.fusion_type)
+        valid = packed_valid(mask_info.num_visible, e, f)
+        zorro = zorro_mask_from_types(types, types, self.fusion_type, valid_k=valid)
+        zorro = zorro[:, None]  # [B, 1, N, N] broadcast over heads
+
+        for i, blk in enumerate(self.blocks):
+            if self.fusion_mode == "crossattn":
+                grid = self._fusion_grid(tokens, mask_info, e)
+                stack = jnp.concatenate([grid, tokens[:, None, e:, :].transpose(0, 2, 1, 3)], axis=2)
+                fusion_new = self.fus_blocks[i](stack)
+                tokens = jnp.concatenate([tokens[:, :e, :], fusion_new], axis=1)
+            tokens = blk(tokens, attn_mask=zorro, deterministic=deterministic)
+
+        tokens = self.norm(tokens)
+
+        # attention pooling: each return token sees its own modality's packed
+        # slots; the fusion return token sees everything valid
+        # (multimae_crossattn.py:474-497)
+        ret_types = jnp.arange(len(self.in_domains) + 1, dtype=jnp.int32)
+        pool_mask = zorro_mask_from_types(
+            ret_types[None].repeat(b, 0), types, self.fusion_type, valid_k=valid
+        )[:, None]
+        ret = jnp.broadcast_to(
+            self.return_tokens.astype(dtype), (b,) + self.return_tokens.shape[1:]
+        )
+        ret = self.attn_pool(ret, context=tokens, attn_mask=pool_mask)
+        ret = ret + self.mlp(self.norm(ret))
+
+        encoder_fusion_tokens = tokens[:, e:, :]
+        preds = {
+            d: self.output_adapters[d](encoder_fusion_tokens)
+            for d in self.out_domains
+        }
+
+        # contrastive pools over fusion tokens at each modality's visible
+        # positions (multimae_crossattn.py:529-543)
+        pooled_mod = {}
+        for d in self.in_domains:
+            key_mask = (mask_info.task_masks[d] == 0)[:, None, None, :]  # [B,1,1,F]
+            p = jnp.broadcast_to(self.pool_tokens[d].astype(dtype), (b, 1, self.dim_tokens))
+            p = self.attn_pool(p, context=encoder_fusion_tokens, attn_mask=key_mask)
+            p = p + self.mlp(self.norm(p))
+            pooled_mod[d] = p[:, 0, :]
+
+        return {
+            "preds": preds,
+            "task_masks": mask_info.task_masks,
+            "pooled": ret,  # [B, T+1, D]: per-modality + fusion pools
+            "ori_tokens": tokens[:, :e, :],
+            "fusion_tokens": encoder_fusion_tokens,
+            "pooled_mod": pooled_mod,  # {domain: [B, D]} fusion-stream pools
+        }
+
+
+def build_multimae(cfg) -> MultiMAE:
+    """Build from a PretrainConfig (factories multimae_crossattn.py:548-599)."""
+    return MultiMAE(
+        in_domains=tuple(cfg.data.in_domains),
+        out_domains=tuple(cfg.data.out_domains),
+        image_size=cfg.data.input_size,
+        patch_size=cfg.data.patch_size,
+        dim_tokens=cfg.model.dim_tokens,
+        depth=cfg.model.depth,
+        dim_head=cfg.model.dim_head,
+        heads=cfg.model.heads,
+        ff_mult=cfg.model.ff_mult,
+        num_fusion_tokens=cfg.model.num_fusion_tokens,
+        drop_path_rate=cfg.model.drop_path_rate,
+        fusion_mode=cfg.model.fusion_mode,
+        decoder_dim=cfg.decoder.dim,
+        decoder_depth=cfg.decoder.depth,
+        decoder_num_heads=cfg.decoder.num_heads,
+    )

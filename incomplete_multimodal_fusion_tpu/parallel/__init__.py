@@ -1,0 +1,3 @@
+from . import mesh, sharding
+
+__all__ = ["mesh", "sharding"]

@@ -1,0 +1,63 @@
+"""Sharding rules: how params / batches / states map onto the mesh.
+
+The reference's only parallelism is data parallel (SURVEY §2.4). Here we
+support DP over a ``data`` axis plus optional Megatron-style tensor
+parallelism over a ``model`` axis: attention/MLP projection kernels are
+sharded on their hidden dimension and XLA inserts the all-reduces
+(scaling-book recipe: annotate shardings, let GSPMD place collectives on
+ICI).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# kernels whose OUTPUT dim is the sharded hidden dim (column parallel)
+_COL_PARALLEL = ("to_q/kernel", "to_kv/kernel", "qkv/kernel", "kv/kernel",
+                 "fc1/kernel", "proj_in/kernel", "q/kernel")
+# kernels whose INPUT dim is the sharded hidden dim (row parallel)
+_ROW_PARALLEL = ("to_out/kernel", "proj/kernel", "fc2/kernel", "proj_out/kernel")
+
+
+def param_spec(path: str, shape, model_axis: Optional[str], axis_size: int = 1) -> P:
+    ndim = len(shape)
+    if model_axis is None or ndim < 2:
+        return P()
+    if any(path.endswith(s) for s in _COL_PARALLEL) and shape[-1] % axis_size == 0:
+        return P(*([None] * (ndim - 1) + [model_axis]))
+    if any(path.endswith(s) for s in _ROW_PARALLEL) and shape[-2] % axis_size == 0:
+        return P(*([None] * (ndim - 2) + [model_axis, None]))
+    return P()
+
+
+def _path_str(path) -> str:
+    return "/".join(str(getattr(p, "key", p)) for p in path)
+
+
+def params_shardings(params, mesh: Mesh, model_axis: Optional[str] = None):
+    """NamedSharding tree for params: replicated, or TP-sharded kernels when a
+    `model` mesh axis is given."""
+
+    axis_size = dict(zip(mesh.axis_names, mesh.devices.shape)).get(model_axis, 1)
+
+    def f(path, leaf):
+        return NamedSharding(
+            mesh, param_spec(_path_str(path), leaf.shape, model_axis, axis_size)
+        )
+
+    return jax.tree_util.tree_map_with_path(f, params)
+
+
+def batch_sharding(mesh: Mesh, data_axis: str = "data") -> NamedSharding:
+    return NamedSharding(mesh, P(data_axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, data_axis: str = "data"):
+    s = batch_sharding(mesh, data_axis)
+    return jax.tree.map(lambda x: jax.device_put(x, s), batch)

@@ -1,0 +1,154 @@
+"""End-to-end pretrain step tests: loss decreases, schedules correct,
+data-parallel sharding over an 8-device CPU mesh (SURVEY §4 implication (d))."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from incomplete_multimodal_fusion_tpu.config import (
+    DataConfig,
+    DecoderConfig,
+    MaskConfig,
+    ModelConfig,
+    OptimConfig,
+    PretrainConfig,
+    TrainConfig,
+)
+from incomplete_multimodal_fusion_tpu.data.synthetic import synthetic_batch
+from incomplete_multimodal_fusion_tpu.parallel import mesh as mesh_lib
+from incomplete_multimodal_fusion_tpu.parallel import sharding as shard_lib
+from incomplete_multimodal_fusion_tpu.train import pretrain, schedules
+
+
+def tiny_cfg(**train_kw):
+    return PretrainConfig(
+        model=ModelConfig(dim_tokens=32, depth=2, dim_head=8, heads=2, ff_mult=2,
+                          num_fusion_tokens=16),
+        data=DataConfig(input_size=64, patch_size=16, batch_size=8),
+        mask=MaskConfig(num_encoded_tokens=24),
+        decoder=DecoderConfig(dim=32, depth=1, num_heads=2),
+        optim=OptimConfig(),
+        train=TrainConfig(compute_dtype="float32", **train_kw),
+    )
+
+
+class TestSchedules:
+    def test_cosine_warmup_then_decay(self):
+        """native_scaler.py:65-82 semantics."""
+        s = schedules.cosine_scheduler(1.0, 0.0, 100, warmup_steps=10, start_warmup_value=0.0)
+        assert float(s(0)) == 0.0
+        np.testing.assert_allclose(float(s(5)), 0.5, rtol=1e-6)
+        np.testing.assert_allclose(float(s(10)), 1.0, rtol=1e-6)
+        np.testing.assert_allclose(float(s(55)), 0.5, atol=1e-6)  # cosine midpoint
+        np.testing.assert_allclose(float(s(100)), 0.0, atol=1e-6)
+
+    def test_lr_scaling_rule(self):
+        assert schedules.scaled_lr(1e-4, 256) == pytest.approx(1e-4)
+        assert schedules.scaled_lr(1e-4, 512) == pytest.approx(2e-4)
+
+
+class TestTrainStep:
+    def test_loss_decreases(self):
+        cfg = tiny_cfg()
+        model, state, tx = pretrain.create_train_state(cfg, jax.random.PRNGKey(0), total_steps=100)
+        step = jax.jit(pretrain.make_train_step(model, cfg, tx))
+        rng = np.random.default_rng(0)
+        batch = {k: jnp.asarray(v) for k, v in synthetic_batch(
+            rng, cfg.data.in_domains, 8, 64).items()}
+        losses = []
+        for _ in range(12):
+            state, metrics = step(state, batch)
+            losses.append(float(metrics["loss"]))
+        assert all(np.isfinite(losses))
+        assert np.mean(losses[-3:]) < np.mean(losses[:3]), losses
+
+    def test_metrics_keys(self):
+        cfg = tiny_cfg()
+        model, state, tx = pretrain.create_train_state(cfg, jax.random.PRNGKey(1), total_steps=10)
+        step = jax.jit(pretrain.make_train_step(model, cfg, tx))
+        batch = {k: jnp.asarray(v) for k, v in synthetic_batch(
+            np.random.default_rng(1), cfg.data.in_domains, 4, 64).items()}
+        _, m = step(state, batch)
+        for k in ("loss", "contra_loss", "recon_loss", "grad_norm", "s1_loss", "s2_loss", "dem_loss"):
+            assert k in m
+
+    def test_uncertainty_balancer(self):
+        cfg = dataclasses.replace(tiny_cfg(), optim=OptimConfig(task_balancer="uncertainty"))
+        model, state, tx = pretrain.create_train_state(cfg, jax.random.PRNGKey(2), total_steps=10)
+        step = jax.jit(pretrain.make_train_step(model, cfg, tx))
+        batch = {k: jnp.asarray(v) for k, v in synthetic_batch(
+            np.random.default_rng(2), cfg.data.in_domains, 4, 64).items()}
+        s2, _ = step(state, batch)
+        # log-vars moved
+        moved = any(
+            float(jnp.abs(s2.balancer_params[d])) > 0 for d in cfg.data.out_domains
+        )
+        assert moved
+
+
+class TestDataParallel:
+    def test_sharded_step_matches_single_device(self):
+        """DP over 8 CPU devices == single-device numerics (replaces the
+        reference's DDP gradient averaging, pretrain_mmae.py:342-349)."""
+        cfg = tiny_cfg()
+        model, state, tx = pretrain.create_train_state(cfg, jax.random.PRNGKey(3), total_steps=10)
+        step_fn = pretrain.make_train_step(model, cfg, tx)
+        batch = {k: jnp.asarray(v) for k, v in synthetic_batch(
+            np.random.default_rng(3), cfg.data.in_domains, 8, 64).items()}
+
+        # single device
+        s1, m1 = jax.jit(step_fn)(state, batch)
+
+        # 8-device data parallel
+        mesh = mesh_lib.data_parallel_mesh()
+        assert mesh.devices.size == 8
+        sharded_batch = shard_lib.shard_batch(batch, mesh)
+        repl = shard_lib.replicated(mesh)
+        state_r = jax.device_put(state, repl)
+        s8, m8 = jax.jit(step_fn)(state_r, sharded_batch)
+
+        np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=2e-5)
+        l1 = jax.tree.leaves(s1.params)
+        l8 = jax.tree.leaves(s8.params)
+        for a, b in zip(l1, l8):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+    def test_tensor_parallel_shardings_compile(self):
+        """TP over a ('data','model') mesh: kernels sharded on hidden dim,
+        XLA inserts the collectives; one step must compile and run."""
+        cfg = tiny_cfg()
+        model, state, tx = pretrain.create_train_state(cfg, jax.random.PRNGKey(4), total_steps=10)
+        step_fn = pretrain.make_train_step(model, cfg, tx)
+        mesh = mesh_lib.make_mesh((2, 4), ("data", "model"))
+        p_shard = shard_lib.params_shardings(state.params, mesh, model_axis="model")
+        repl = shard_lib.replicated(mesh)
+        state_s = pretrain.TrainState(
+            step=jax.device_put(state.step, repl),
+            params=jax.tree.map(jax.device_put, state.params, p_shard),
+            balancer_params=state.balancer_params,
+            opt_state=jax.device_put(state.opt_state, repl),
+            rng=jax.device_put(state.rng, repl),
+        )
+        batch = {k: jnp.asarray(v) for k, v in synthetic_batch(
+            np.random.default_rng(4), cfg.data.in_domains, 4, 64).items()}
+        sharded_batch = shard_lib.shard_batch(batch, mesh)
+        s2, m = jax.jit(step_fn)(state_s, sharded_batch)
+        assert np.isfinite(float(m["loss"]))
+
+
+class TestCheckpoint:
+    def test_save_restore_roundtrip(self, tmp_path):
+        from incomplete_multimodal_fusion_tpu.utils import checkpoint as ckpt
+
+        cfg = tiny_cfg()
+        model, state, tx = pretrain.create_train_state(cfg, jax.random.PRNGKey(5), total_steps=10)
+        ckpt.save_checkpoint(str(tmp_path), 3, {"params": state.params, "step": 3})
+        assert ckpt.latest_step(str(tmp_path)) == 3
+        restored = ckpt.restore_checkpoint(
+            str(tmp_path), {"params": state.params, "step": 0}
+        )
+        assert int(restored["step"]) == 3
+        for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored["params"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
