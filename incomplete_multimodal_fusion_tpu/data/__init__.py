@@ -1,3 +1,3 @@
-from . import synthetic
+from . import synthetic, dfc2023
 
-__all__ = ["synthetic"]
+__all__ = ["synthetic", "dfc2023"]

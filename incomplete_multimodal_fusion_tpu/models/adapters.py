@@ -42,7 +42,9 @@ class PatchedInputAdapter(nn.Module):
     @nn.compact
     def __call__(self, x, dim_tokens: Optional[int] = None):
         b, h, w, c = x.shape
-        assert c == self.num_channels
+        assert c == self.num_channels, (
+            f"adapter expects {self.num_channels} channels, got {c} (input {x.shape})"
+        )
         p = self.p
         n_h, n_w = h // p, w // p
         dim = dim_tokens

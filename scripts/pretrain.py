@@ -1,0 +1,183 @@
+#!/usr/bin/env python
+"""Pretraining CLI (reference pretraining/pretrain_mmae.py:75-185, 251-418).
+
+Usage:
+  python scripts/pretrain.py -c config.yaml [--epochs N] [--data_path DIR] ...
+
+Flag names mirror the reference where they still make sense on TPU; DDP /
+AMP / loss-scaler flags disappear (SPMD mesh + bf16 replace them).
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def get_args():
+    p = argparse.ArgumentParser("MultiMAE TPU pre-training")
+    p.add_argument("-c", "--config", default="", help="YAML config file")
+    p.add_argument("--batch_size", type=int, default=None, help="per-replica batch")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--steps_per_epoch", type=int, default=100)
+    p.add_argument("--save_ckpt_freq", type=int, default=None)
+    p.add_argument("--in_domains", type=str, default=None, help="hyphen separated")
+    p.add_argument("--out_domains", type=str, default=None)
+    p.add_argument("--model_size", type=str, default="tiny", choices=["tiny", "base", "large"])
+    p.add_argument("--fusion_mode", type=str, default=None,
+                   choices=["crossattn", "zorro", "sup"])
+    p.add_argument("--num_encoded_tokens", type=int, default=None)
+    p.add_argument("--patch_size", type=int, default=None)
+    p.add_argument("--input_size", type=int, default=None)
+    p.add_argument("--alphas", type=float, default=None)
+    p.add_argument("--sample_tasks_uniformly", action="store_true", default=None)
+    p.add_argument("--blr", type=float, default=None)
+    p.add_argument("--warmup_epochs", type=int, default=None)
+    p.add_argument("--weight_decay", type=float, default=None)
+    p.add_argument("--clip_grad", type=float, default=None)
+    p.add_argument("--skip_grad", type=float, default=None)
+    p.add_argument("--task_balancer", type=str, default=None)
+    p.add_argument("--data_path", type=str, default=None,
+                   help="DFC2023-layout dir; synthetic data if empty")
+    p.add_argument("--output_dir", type=str, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--auto_resume", action="store_true", default=True)
+    p.add_argument("--no_auto_resume", action="store_false", dest="auto_resume")
+    p.add_argument("--compute_dtype", type=str, default=None)
+    return p.parse_args()
+
+
+def build_config(args):
+    from incomplete_multimodal_fusion_tpu import config as cfg_lib
+
+    if args.config:
+        with open(args.config) as f:
+            cfg = cfg_lib.from_yaml(f.read())
+    else:
+        cfg = cfg_lib.PretrainConfig()
+    model_cfg = cfg_lib.MODEL_SIZES[args.model_size]
+    if args.fusion_mode:
+        model_cfg = dataclasses.replace(model_cfg, fusion_mode=args.fusion_mode)
+    # fusion tokens must tile the patch grid (multimae_crossattn.py:87)
+    input_size = args.input_size or cfg.data.input_size
+    patch_size = args.patch_size or cfg.data.patch_size
+    n_grid = (input_size // patch_size) ** 2
+    if model_cfg.num_fusion_tokens != n_grid:
+        model_cfg = dataclasses.replace(model_cfg, num_fusion_tokens=n_grid)
+    data_kw = {}
+    for k_arg, k_field in [("batch_size", "batch_size"), ("patch_size", "patch_size"),
+                           ("input_size", "input_size"), ("data_path", "data_path")]:
+        v = getattr(args, k_arg)
+        if v is not None:
+            data_kw[k_field] = v
+    if args.in_domains:
+        data_kw["in_domains"] = tuple(args.in_domains.split("-"))
+    if args.out_domains:
+        data_kw["out_domains"] = tuple(args.out_domains.split("-"))
+    mask_kw = {}
+    if args.num_encoded_tokens is not None:
+        mask_kw["num_encoded_tokens"] = args.num_encoded_tokens
+    if args.alphas is not None:
+        mask_kw["alphas"] = args.alphas
+    if args.sample_tasks_uniformly:
+        mask_kw["sample_tasks_uniformly"] = True
+    optim_kw = {k: getattr(args, k) for k in
+                ("blr", "warmup_epochs", "weight_decay", "clip_grad", "skip_grad",
+                 "task_balancer") if getattr(args, k) is not None}
+    train_kw = {k: getattr(args, k) for k in
+                ("epochs", "save_ckpt_freq", "seed", "output_dir", "compute_dtype")
+                if getattr(args, k) is not None}
+    return cfg_lib.PretrainConfig(
+        model=model_cfg,
+        data=dataclasses.replace(cfg.data, **data_kw),
+        mask=dataclasses.replace(cfg.mask, **mask_kw),
+        decoder=cfg.decoder,
+        optim=dataclasses.replace(cfg.optim, **optim_kw),
+        train=dataclasses.replace(cfg.train, **train_kw),
+    )
+
+
+def main():
+    args = get_args()
+    cfg = build_config(args)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from incomplete_multimodal_fusion_tpu import config as cfg_lib
+    from incomplete_multimodal_fusion_tpu.data.synthetic import synthetic_iterator
+    from incomplete_multimodal_fusion_tpu.parallel import mesh as mesh_lib
+    from incomplete_multimodal_fusion_tpu.parallel import sharding as shard_lib
+    from incomplete_multimodal_fusion_tpu.train import pretrain
+    from incomplete_multimodal_fusion_tpu.utils import checkpoint as ckpt_lib
+    from incomplete_multimodal_fusion_tpu.utils.logging import MetricLogger
+
+    n_dev = jax.device_count()
+    mesh = mesh_lib.data_parallel_mesh()
+    global_batch = cfg.data.batch_size * n_dev
+    steps_per_epoch = args.steps_per_epoch
+    total_steps = steps_per_epoch * cfg.train.epochs
+
+    print(f"devices={n_dev} global_batch={global_batch} total_steps={total_steps}")
+    print(cfg_lib.to_yaml(cfg))
+
+    model, state, tx = pretrain.create_train_state(
+        cfg, jax.random.PRNGKey(cfg.train.seed), total_steps,
+        total_batch_size=global_batch,
+    )
+    n_params = sum(x.size for x in jax.tree.leaves(state.params))
+    print(f"Number of params: {n_params / 1e6:.2f} M")
+
+    out_dir = cfg.train.output_dir
+    os.makedirs(out_dir, exist_ok=True)
+    start_step = 0
+    if args.auto_resume and ckpt_lib.latest_step(out_dir) is not None:
+        state = ckpt_lib.restore_checkpoint(out_dir, state)
+        start_step = int(state.step)
+        print(f"Resumed from step {start_step}")
+
+    if cfg.data.data_path:
+        from incomplete_multimodal_fusion_tpu.data.dfc2023 import dfc2023_iterator
+        data_iter = dfc2023_iterator(
+            cfg.data.data_path, cfg.data.in_domains, global_batch,
+            cfg.data.input_size, seed=cfg.train.seed,
+        )
+    else:
+        data_iter = synthetic_iterator(
+            cfg.train.seed, cfg.data.in_domains, global_batch, cfg.data.input_size
+        )
+
+    step_fn = jax.jit(pretrain.make_train_step(model, cfg, tx), donate_argnums=0)
+    state = jax.device_put(state, shard_lib.replicated(mesh))
+
+    logger = MetricLogger()
+    log_path = os.path.join(out_dir, "log.txt")
+    t_start = time.time()
+    for step in range(start_step, total_steps):
+        epoch = step // steps_per_epoch
+        batch = shard_lib.shard_batch(
+            {k: jnp.asarray(v) for k, v in next(data_iter).items()}, mesh
+        )
+        state, metrics = step_fn(state, batch)
+        if step % 10 == 0:
+            vals = {k: float(v) for k, v in metrics.items()}
+            logger.update(**vals)
+            print(f"epoch {epoch} step {step}: " +
+                  " ".join(f"{k}={v:.4f}" for k, v in vals.items()), flush=True)
+        if (step + 1) % steps_per_epoch == 0:
+            save_freq = cfg.train.save_ckpt_freq
+            if (epoch + 1) % save_freq == 0 or step + 1 == total_steps:
+                ckpt_lib.save_checkpoint(out_dir, step + 1, state)
+            with open(log_path, "a") as f:
+                f.write(logger.jsonl(epoch=epoch, step=step) + "\n")
+    print(f"Training time {time.time() - t_start:.0f}s")
+
+
+if __name__ == "__main__":
+    main()
