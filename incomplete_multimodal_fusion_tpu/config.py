@@ -28,6 +28,7 @@ class ModelConfig:
     # 'lstm'      = BiLSTM per-position fusion (multimae_lstm.py)
     # 'sup'       = supervised baseline, no fusion stream (multimae_sup.py)
     fusion_mode: str = "crossattn"
+    attn_impl: str = "auto"  # 'auto' | 'pallas' | 'xla'
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,327 @@
+"""Mask2Former set criterion + Hungarian matching, static-shape TPU form
+(reference downstream/instance_segmentation/utils/criterion_ins.py:120-278 and
+matcher_ins.py:70-175; semantic deltas from criterion_seg.py:149-204).
+
+TPU-native reformulation:
+  * Targets are PADDED tensors — labels [B, G] (-1 pad), masks [B, G, H, W],
+    valid [B, G] — instead of python lists of per-image dicts, so the whole
+    loss is one jittable program for any ground-truth count.
+  * Hungarian matching stays exact: the cost matrix gets a constant cost for
+    padded target columns (their assignment is then interchangeable, leaving
+    real-column assignment optimal) and runs through `jax.pure_callback` ->
+    scipy.linear_sum_assignment, the one host-side step the reference also
+    pays (matcher_ins.py:147 `.cpu()`). A fully on-device greedy fallback is
+    provided for host-callback-free serving.
+  * PointRend-style uncertainty point sampling (12544 pts, oversample 3.0,
+    importance 0.75 — maskformer_ake150.yaml:35-36) via shared bilinear
+    sampling (ops/msda.py), exactly like detectron2 point_sample with
+    align_corners=False.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.msda import bilinear_sample
+
+PAD_COST = 1e8
+
+
+class SegTargets(NamedTuple):
+    labels: jnp.ndarray  # [B, G] int32, -1 padding
+    masks: jnp.ndarray  # [B, G, H, W] float 0/1
+    valid: jnp.ndarray  # [B, G] bool
+
+
+# ---------------------------------------------------------------------------
+# point sampling (detectron2 point_features semantics, utils/point_features.py)
+# ---------------------------------------------------------------------------
+def point_sample(masks: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """masks [N, H, W], coords [N, P, 2] in [0,1] (x, y) -> [N, P].
+
+    Equivalent to detectron2 point_sample(align_corners=False): grid_sample
+    of 2*coords-1.
+    """
+    n, h, w = masks.shape
+    gx = 2.0 * coords[..., 0] - 1.0
+    gy = 2.0 * coords[..., 1] - 1.0
+    px = ((gx + 1.0) * w - 1.0) / 2.0
+    py = ((gy + 1.0) * h - 1.0) / 2.0
+    out = jax.vmap(lambda m, x, y: bilinear_sample(m[..., None], x, y)[..., 0])(
+        masks, px, py
+    )
+    return out
+
+
+def calculate_uncertainty(logits: jnp.ndarray) -> jnp.ndarray:
+    """-|logit| (criterion_ins.py calculate_uncertainty)."""
+    return -jnp.abs(logits)
+
+
+def uncertain_point_coords(
+    key: jax.Array,
+    logits: jnp.ndarray,  # [N, H, W]
+    num_points: int,
+    oversample_ratio: float = 3.0,
+    importance_sample_ratio: float = 0.75,
+) -> jnp.ndarray:
+    """get_uncertain_point_coords_with_randomness: sample
+    num_points*oversample uniform points, keep the most-uncertain
+    importance fraction, fill the rest with fresh uniform points."""
+    n = logits.shape[0]
+    k1, k2 = jax.random.split(key)
+    n_sampled = int(num_points * oversample_ratio)
+    coords = jax.random.uniform(k1, (n, n_sampled, 2))
+    point_logits = point_sample(logits, coords)
+    unc = calculate_uncertainty(point_logits)
+    n_unc = int(importance_sample_ratio * num_points)
+    n_rand = num_points - n_unc
+    _, idx = jax.lax.top_k(unc, n_unc)
+    top_coords = jnp.take_along_axis(coords, idx[..., None], axis=1)
+    rand_coords = jax.random.uniform(k2, (n, n_rand, 2))
+    return jnp.concatenate([top_coords, rand_coords], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# matching
+# ---------------------------------------------------------------------------
+def batch_dice_cost(inputs: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """[Q, P] logits x [G, P] binary -> [Q, G] (matcher_ins.py:15-30)."""
+    p = jax.nn.sigmoid(inputs)
+    num = 2 * jnp.einsum("qp,gp->qg", p, targets)
+    den = p.sum(-1)[:, None] + targets.sum(-1)[None, :]
+    return 1 - (num + 1) / (den + 1)
+
+
+def batch_sigmoid_ce_cost(inputs: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """[Q, P] x [G, P] -> [Q, G] (matcher_ins.py:38-61)."""
+    hw = inputs.shape[1]
+    pos = jax.nn.softplus(-inputs)  # BCE(x, 1)
+    neg = jax.nn.softplus(inputs)  # BCE(x, 0)
+    return (jnp.einsum("qp,gp->qg", pos, targets)
+            + jnp.einsum("qp,gp->qg", neg, 1 - targets)) / hw
+
+
+def _scipy_assign(cost: np.ndarray) -> np.ndarray:
+    from scipy.optimize import linear_sum_assignment
+
+    b, q, g = cost.shape
+    out = np.zeros((b, g), np.int32)
+    for i in range(b):
+        row, col = linear_sum_assignment(cost[i])
+        out[i, col] = row.astype(np.int32)
+    return out
+
+
+def _greedy_assign(cost: jnp.ndarray) -> jnp.ndarray:
+    """On-device greedy assignment (optional host-callback-free path):
+    iteratively pick the globally cheapest (q, g) pair."""
+    b, q, g = cost.shape
+
+    def per_sample(c):
+        def body(i, state):
+            c, out = state
+            flat = jnp.argmin(c)
+            qi, gi = flat // g, flat % g
+            out = out.at[gi].set(qi.astype(jnp.int32))
+            c = c.at[qi, :].set(jnp.inf)
+            c = c.at[:, gi].set(jnp.inf)
+            return c, out
+
+        _, out = jax.lax.fori_loop(0, g, body, (c, jnp.zeros((g,), jnp.int32)))
+        return out
+
+    return jax.vmap(per_sample)(cost)
+
+
+def hungarian_match(cost: jnp.ndarray, exact: bool = True) -> jnp.ndarray:
+    """cost [B, Q, G] -> matched query index per target column [B, G]."""
+    if not exact:
+        return _greedy_assign(cost)
+    return jax.pure_callback(
+        _scipy_assign,
+        jax.ShapeDtypeStruct(cost.shape[:1] + cost.shape[2:], jnp.int32),
+        cost.astype(jnp.float32),
+        vmap_method="sequential",
+    )
+
+
+def match_outputs_to_targets(
+    pred_logits: jnp.ndarray,  # [B, Q, K+1]
+    pred_masks: jnp.ndarray,  # [B, Q, H, W]
+    targets: SegTargets,
+    key: jax.Array,
+    num_points: int,
+    cost_class: float = 1.0,
+    cost_mask: float = 1.0,
+    cost_dice: float = 1.0,
+    exact: bool = True,
+) -> jnp.ndarray:
+    """HungarianMatcher.memory_efficient_forward (matcher_ins.py:95-153)."""
+    b, q = pred_logits.shape[:2]
+    g = targets.labels.shape[1]
+    prob = jax.nn.softmax(pred_logits, axis=-1)
+    safe_labels = jnp.clip(targets.labels, 0, prob.shape[-1] - 1)
+    c_class = -jnp.take_along_axis(
+        prob, safe_labels[:, None, :].repeat(q, 1), axis=2
+    )  # [B, Q, G]
+
+    # shared random points per sample (matcher_ins.py:116-129)
+    coords = jax.random.uniform(key, (b, 1, num_points, 2))
+
+    def per_sample(pm, tm, crd):
+        crd_q = jnp.broadcast_to(crd, (q, num_points, 2))
+        crd_g = jnp.broadcast_to(crd, (g, num_points, 2))
+        out_pts = point_sample(pm, crd_q)  # [Q, P]
+        tgt_pts = point_sample(tm, crd_g)  # [G, P]
+        return (batch_sigmoid_ce_cost(out_pts, tgt_pts),
+                batch_dice_cost(out_pts, tgt_pts))
+
+    c_mask, c_dice = jax.vmap(per_sample)(pred_masks, targets.masks, coords)
+    cost = cost_class * c_class + cost_mask * c_mask + cost_dice * c_dice
+    cost = jnp.where(targets.valid[:, None, :], cost, PAD_COST)
+    cost = jax.lax.stop_gradient(cost)
+    return hungarian_match(cost, exact=exact)
+
+
+# ---------------------------------------------------------------------------
+# losses
+# ---------------------------------------------------------------------------
+def sigmoid_ce_loss(point_logits, point_labels, weights, num_masks):
+    """(criterion_ins.py sigmoid_ce_loss): per-mask mean over points, then
+    sum over masks / num_masks; padded rows weighted 0."""
+    loss = jnp.where(point_labels > 0.5,
+                     jax.nn.softplus(-point_logits),
+                     jax.nn.softplus(point_logits))
+    per_mask = loss.mean(axis=-1)
+    return jnp.sum(per_mask * weights) / num_masks
+
+
+def dice_loss(point_logits, point_labels, weights, num_masks):
+    p = jax.nn.sigmoid(point_logits)
+    num = 2 * jnp.sum(p * point_labels, axis=-1)
+    den = p.sum(axis=-1) + point_labels.sum(axis=-1)
+    per_mask = 1 - (num + 1) / (den + 1)
+    return jnp.sum(per_mask * weights) / num_masks
+
+
+def criterion_losses(
+    pred_logits: jnp.ndarray,  # [B, Q, K+1]
+    pred_masks: jnp.ndarray,  # [B, Q, H, W]
+    targets: SegTargets,
+    matched_q: jnp.ndarray,  # [B, G]
+    key: jax.Array,
+    num_classes: int,
+    num_masks: jnp.ndarray,  # scalar, globally reduced
+    eos_coef: float = 0.1,
+    num_points: int = 12544,
+    oversample_ratio: float = 3.0,
+    importance_sample_ratio: float = 0.75,
+    dense_masks: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """loss_labels + loss_masks for one prediction level
+    (criterion_ins.py:153-221; dense_masks=True reproduces the semantic
+    variant where point sampling is disabled, criterion_seg.py:169-204)."""
+    b, q, _ = pred_logits.shape
+    g = targets.labels.shape[1]
+
+    # ---- classification: matched queries get the target label, all other
+    # queries get no-object (weighted eos_coef)
+    target_classes = jnp.full((b, q), num_classes, jnp.int32)
+    batch_idx = jnp.arange(b)[:, None].repeat(g, 1)
+    safe_lab = jnp.where(targets.valid, targets.labels, num_classes)
+    # scatter only VALID targets' labels onto their matched queries;
+    # padded columns use the out-of-bounds index q and are dropped,
+    # leaving the no-object default (criterion_ins.py:161-165)
+    target_classes = target_classes.at[
+        batch_idx, jnp.where(targets.valid, matched_q, q)
+    ].set(safe_lab, mode="drop")
+
+    logp = jax.nn.log_softmax(pred_logits.astype(jnp.float32), axis=-1)
+    class_w = jnp.ones((num_classes + 1,)).at[num_classes].set(eos_coef)
+    w = class_w[target_classes]
+    nll = -jnp.take_along_axis(logp, target_classes[..., None], axis=-1)[..., 0]
+    loss_ce = jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1e-6)
+
+    # ---- masks: gather matched predictions per target
+    src = jnp.take_along_axis(
+        pred_masks, matched_q[:, :, None, None], axis=1
+    ).astype(jnp.float32)  # [B, G, H, W]
+    tgt = targets.masks.astype(jnp.float32)
+    weights = targets.valid.astype(jnp.float32).reshape(-1)
+
+    if dense_masks:
+        hp, wp = src.shape[-2:]
+        tgt_r = jax.image.resize(tgt, tgt.shape[:2] + (hp, wp), method="nearest")
+        pl_ = src.reshape(b * g, hp * wp)
+        tl_ = tgt_r.reshape(b * g, hp * wp)
+    else:
+        src_f = src.reshape(b * g, *src.shape[2:])
+        tgt_f = tgt.reshape(b * g, *tgt.shape[2:])
+        coords = uncertain_point_coords(
+            key, jax.lax.stop_gradient(src_f), num_points,
+            oversample_ratio, importance_sample_ratio,
+        )
+        pl_ = point_sample(src_f, coords)
+        tl_ = jax.lax.stop_gradient(point_sample(tgt_f, coords))
+
+    return {
+        "loss_ce": loss_ce,
+        "loss_mask": sigmoid_ce_loss(pl_, tl_, weights, num_masks),
+        "loss_dice": dice_loss(pl_, tl_, weights, num_masks),
+    }
+
+
+def set_criterion(
+    outputs: Dict,
+    targets: SegTargets,
+    key: jax.Array,
+    num_classes: int,
+    eos_coef: float = 0.1,
+    num_points: int = 12544,
+    oversample_ratio: float = 3.0,
+    importance_sample_ratio: float = 0.75,
+    cost_class: float = 1.0,
+    cost_mask: float = 1.0,
+    cost_dice: float = 1.0,
+    dense_masks: bool = False,
+    exact_match: bool = True,
+) -> Dict[str, jnp.ndarray]:
+    """Full criterion incl. aux levels (criterion_ins.py:224-278)."""
+    num_masks = jnp.maximum(jnp.sum(targets.valid.astype(jnp.float32)), 1.0)
+    losses = {}
+    levels = [(None, outputs)] + [
+        (i, aux) for i, aux in enumerate(outputs.get("aux_outputs", []))
+    ]
+    for tag, out in levels:
+        key, k_match, k_pts = jax.random.split(key, 3)
+        matched = match_outputs_to_targets(
+            out["pred_logits"], out["pred_masks"], targets, k_match,
+            num_points, cost_class, cost_mask, cost_dice, exact=exact_match,
+        )
+        l = criterion_losses(
+            out["pred_logits"], out["pred_masks"], targets, matched, k_pts,
+            num_classes, num_masks, eos_coef, num_points, oversample_ratio,
+            importance_sample_ratio, dense_masks,
+        )
+        suffix = "" if tag is None else f"_{tag}"
+        losses.update({k + suffix: v for k, v in l.items()})
+    return losses
+
+
+def targets_from_semantic_labels(
+    label_map: jnp.ndarray, num_classes: int, ignore_index: int = 255
+) -> SegTargets:
+    """Semantic path: build per-class binary masks from a label map
+    (criterion_seg.py SetCriterion._get_targets:271-279); classes absent from
+    the image are padding."""
+    b, h, w = label_map.shape
+    classes = jnp.arange(num_classes)
+    masks = (label_map[:, None, :, :] == classes[None, :, None, None]).astype(jnp.float32)
+    valid = masks.sum(axis=(2, 3)) > 0
+    labels = jnp.broadcast_to(classes[None], (b, num_classes)).astype(jnp.int32)
+    return SegTargets(labels=labels, masks=masks, valid=valid)

@@ -123,13 +123,19 @@ class ZorroAttention(nn.Module):
     """Masked MHA with internal query-side LayerNorm (zorro_utils.py:152-194).
 
     q/kv/out projections are bias-free; heads*dim_head may differ from dim.
+    Self-attention with ``packed_types`` dispatches to the fused Pallas
+    zorro kernel when ``use_pallas``; otherwise the mask is built in XLA.
     """
 
     dim_head: int = 64
     heads: int = 8
 
     @nn.compact
-    def __call__(self, x, context=None, attn_mask=None):
+    def __call__(self, x, context=None, attn_mask=None, packed_types=None,
+                 fusion_type=None, use_pallas=False):
+        from ..ops.attention import zorro_mask_from_padded_types
+        from ..ops.pallas_attn import PAD_TYPE, zorro_self_attention
+
         inner = self.dim_head * self.heads
         x = BiaslessLayerNorm(name="norm")(x)
         kv_x = context if context is not None else x
@@ -140,9 +146,19 @@ class ZorroAttention(nn.Module):
         def heads_split(t):
             return t.reshape(*t.shape[:-1], self.heads, self.dim_head)
 
-        out = multihead_attention(
-            heads_split(q), heads_split(k), heads_split(v), mask=attn_mask
-        )
+        if packed_types is not None and context is None and use_pallas:
+            out = zorro_self_attention(
+                heads_split(q), heads_split(k), heads_split(v),
+                packed_types, fusion_type,
+            )
+        else:
+            if packed_types is not None and attn_mask is None:
+                attn_mask = zorro_mask_from_padded_types(
+                    packed_types, fusion_type, PAD_TYPE
+                )[:, None]
+            out = multihead_attention(
+                heads_split(q), heads_split(k), heads_split(v), mask=attn_mask
+            )
         out = out.reshape(*out.shape[:-2], inner)
         return nn.Dense(
             x.shape[-1], use_bias=False, kernel_init=nn.initializers.xavier_uniform(), name="to_out"
@@ -174,9 +190,11 @@ class EncoderBlock(nn.Module):
     drop_path: float = 0.0
 
     @nn.compact
-    def __call__(self, x, attn_mask=None, deterministic: bool = True):
+    def __call__(self, x, attn_mask=None, packed_types=None, fusion_type=None,
+                 use_pallas=False, deterministic: bool = True):
         h = ZorroAttention(dim_head=self.dim_head, heads=self.heads, name="attn")(
-            BiaslessLayerNorm(name="norm1")(x), attn_mask=attn_mask
+            BiaslessLayerNorm(name="norm1")(x), attn_mask=attn_mask,
+            packed_types=packed_types, fusion_type=fusion_type, use_pallas=use_pallas,
         )
         x = x + DropPath(self.drop_path, name="dp1")(h, deterministic)
         h = GEGLUFeedForward(mult=self.ff_mult, name="mlp")(BiaslessLayerNorm(name="norm2")(x))

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import Dict, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -33,6 +34,7 @@ from ..ops.attention import (
     packed_valid,
     zorro_mask_from_types,
 )
+from ..ops.pallas_attn import PAD_TYPE, pallas_supported
 from ..ops.masking import MaskInfo
 from ..ops.posemb import build_2d_sincos_posemb
 from .adapters import PatchedInputAdapter, SemSegInputAdapter, SpatialOutputAdapter
@@ -59,6 +61,7 @@ class MultiMAE(nn.Module):
     num_fusion_tokens: int = 256
     drop_path_rate: float = 0.0
     fusion_mode: str = "crossattn"  # 'crossattn' | 'zorro' | 'sup'
+    attn_impl: str = "auto"  # 'auto' | 'pallas' | 'xla'
     # reconstruction decoder (reference pretrain_mmae.py:202-215 defaults)
     decoder_dim: int = 256
     decoder_depth: int = 2
@@ -211,8 +214,14 @@ class MultiMAE(nn.Module):
         nums = tuple(self.num_patches for _ in self.in_domains)
         types = packed_token_types(mask_info.order, nums, e, f, self.fusion_type)
         valid = packed_valid(mask_info.num_visible, e, f)
-        zorro = zorro_mask_from_types(types, types, self.fusion_type, valid_k=valid)
-        zorro = zorro[:, None]  # [B, 1, N, N] broadcast over heads
+        # PAD-coded types drive both the Pallas kernel (mask recomputed
+        # in-VMEM) and the XLA fallback mask
+        types_padded = jnp.where(valid, types, PAD_TYPE)
+        use_pallas = self.attn_impl == "pallas" or (
+            self.attn_impl == "auto"
+            and jax.default_backend() == "tpu"
+            and pallas_supported(e + f)
+        )
 
         for i, blk in enumerate(self.blocks):
             if self.fusion_mode == "crossattn":
@@ -220,7 +229,13 @@ class MultiMAE(nn.Module):
                 stack = jnp.concatenate([grid, tokens[:, None, e:, :].transpose(0, 2, 1, 3)], axis=2)
                 fusion_new = self.fus_blocks[i](stack)
                 tokens = jnp.concatenate([tokens[:, :e, :], fusion_new], axis=1)
-            tokens = blk(tokens, attn_mask=zorro, deterministic=deterministic)
+            tokens = blk(
+                tokens,
+                packed_types=types_padded,
+                fusion_type=self.fusion_type,
+                use_pallas=use_pallas,
+                deterministic=deterministic,
+            )
 
         tokens = self.norm(tokens)
 
@@ -278,6 +293,7 @@ def build_multimae(cfg) -> MultiMAE:
         num_fusion_tokens=cfg.model.num_fusion_tokens,
         drop_path_rate=cfg.model.drop_path_rate,
         fusion_mode=cfg.model.fusion_mode,
+        attn_impl=cfg.model.attn_impl,
         decoder_dim=cfg.decoder.dim,
         decoder_depth=cfg.decoder.depth,
         decoder_num_heads=cfg.decoder.num_heads,

@@ -61,6 +61,18 @@ def zorro_mask_from_types(
     return m
 
 
+def zorro_mask_from_padded_types(
+    types: jnp.ndarray,  # [B, N] int, PAD-coded padding slots
+    fusion_type: int,
+    pad_type: int,
+) -> jnp.ndarray:
+    """Same rule the Pallas kernel applies in-VMEM (ops/pallas_attn.py):
+    attend iff same type, or query is fusion and key is not padding."""
+    tq = types[..., :, None]
+    tk = types[..., None, :]
+    return (tq == tk) | ((tq == fusion_type) & (tk != pad_type))
+
+
 def packed_token_types(
     order: jnp.ndarray,  # [B, N_total]
     num_tokens_per_task,  # static tuple

@@ -147,6 +147,68 @@ def mask_info_from_task_masks(
     return mask_info_from_flat_mask(mask_all, task_names, nums, num_encoded_tokens)
 
 
+def incomplete_random_masks(
+    key: jax.Array,
+    task_names: Tuple[str, ...],
+    num_tokens_per_task: Tuple[int, ...],
+    present: jnp.ndarray,  # [T] bool — modalities available this step
+    num_encoded_tokens: int,  # static packing size (>= max possible visible)
+    batch_size: int,
+    keep_ratio: float = 0.9,
+    alphas: float = 1.0,
+) -> MaskInfo:
+    """Downstream train-time masking (multimae_big_imcomplete.py:542-594):
+    a random modality subset is chosen per step (`present`, sampled OUTSIDE
+    jit or via `sample_modality_subset`), then keep_ratio of the present
+    tokens stay visible via Dirichlet budgeting. Absent modalities are fully
+    masked; the packed layout pads up to the static num_encoded_tokens.
+    """
+    n_tasks = len(num_tokens_per_task)
+    total = int(sum(num_tokens_per_task))
+    present = present.astype(jnp.float32)
+    k_dir, k_tok, k_fix = jax.random.split(key, 3)
+
+    alphas_vec = jnp.full((n_tasks,), alphas, jnp.float32) * present + 1e-6
+    dist = jax.random.dirichlet(k_dir, alphas_vec) * present
+    dist = dist / jnp.maximum(dist.sum(), 1e-6)
+    nums = jnp.asarray(num_tokens_per_task, jnp.float32)
+    e_dyn = jnp.floor(keep_ratio * jnp.sum(nums * present)).astype(jnp.int32)
+    samples = jnp.round(dist * e_dyn).astype(jnp.int32)
+
+    keys = jax.random.split(k_tok, n_tasks)
+    parts = []
+    absent_parts = []
+    for t, n_t in enumerate(num_tokens_per_task):
+        noise = jax.random.uniform(keys[t], (n_t,))
+        rank = jnp.argsort(jnp.argsort(noise))
+        keep = (rank < samples[t]) & (present[t] > 0)
+        parts.append(jnp.where(keep, 0, 1))
+        absent_parts.append(jnp.full((n_t,), 1.0 - present[t]))
+    mask_all = jnp.concatenate(parts).astype(jnp.int32)
+    absent = jnp.concatenate(absent_parts)
+
+    # exact-count fix; absent tokens sort last so they are never promoted
+    tie = jax.random.uniform(k_fix, (total,))
+    ids_shuffle = jnp.argsort(mask_all.astype(jnp.float32) + 10.0 * absent + tie)
+    ids_restore = jnp.argsort(ids_shuffle)
+    flags = (jnp.arange(total) >= e_dyn).astype(jnp.int32)
+    mask = jnp.take(flags, ids_restore)
+    mask = jnp.broadcast_to(mask, (batch_size, total))
+    return mask_info_from_flat_mask(
+        mask, task_names, num_tokens_per_task, num_encoded_tokens
+    )
+
+
+def sample_modality_subset(key: jax.Array, n_tasks: int) -> jnp.ndarray:
+    """random.randint(1, T); random.sample(domains, k)
+    (multimae_big_imcomplete.py:542-548) as a [T] bool vector."""
+    k1, k2 = jax.random.split(key)
+    k = jax.random.randint(k1, (), 1, n_tasks + 1)
+    rank = jnp.argsort(jax.random.uniform(k2, (n_tasks,)))
+    rank = jnp.argsort(rank)
+    return rank < k
+
+
 def full_visible_mask_info(
     task_names: Tuple[str, ...],
     num_tokens_per_task: Tuple[int, ...],

@@ -1,0 +1,89 @@
+"""Pallas zorro-attention kernel parity tests (the role ops/test.py plays for
+the reference's CUDA extension: forward equality + gradients vs the pure-XLA
+implementation, across shapes). Runs in interpreter mode on CPU."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from incomplete_multimodal_fusion_tpu.ops import attention as attn_ops
+from incomplete_multimodal_fusion_tpu.ops.pallas_attn import (
+    PAD_TYPE,
+    zorro_self_attention,
+)
+
+
+def make_inputs(rng_seed, b, n, h, dh, n_types=3, pad_frac=0.2):
+    rng = np.random.default_rng(rng_seed)
+    q = jnp.asarray(rng.standard_normal((b, n, h, dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, n, h, dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, n, h, dh)), jnp.float32)
+    types = rng.integers(0, n_types + 1, (b, n))  # includes fusion type
+    pad = rng.random((b, n)) < pad_frac
+    types = np.where(pad, PAD_TYPE, types)
+    # ensure at least one valid self per row (diagonal always allowed anyway)
+    return q, k, v, jnp.asarray(types, jnp.int32)
+
+
+def xla_reference(q, k, v, types, fusion_type):
+    mask = attn_ops.zorro_mask_from_padded_types(types, fusion_type, PAD_TYPE)[:, None]
+    return attn_ops.multihead_attention(q, k, v, mask=mask)
+
+
+@pytest.mark.parametrize("b,n,h,dh", [(2, 24, 2, 8), (1, 40, 3, 16), (2, 16, 1, 32)])
+def test_forward_parity(b, n, h, dh):
+    q, k, v, types = make_inputs(0, b, n, h, dh)
+    fusion_type = 3
+    out_pl = zorro_self_attention(q, k, v, types, fusion_type)
+    out_ref = xla_reference(q, k, v, types, fusion_type)
+    np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_ref), atol=2e-5)
+
+
+def test_gradient_parity():
+    """Custom VJP vs XLA autodiff (reference ops/test.py gradcheck role)."""
+    q, k, v, types = make_inputs(1, 2, 24, 2, 8)
+    fusion_type = 3
+
+    def loss_pl(q, k, v):
+        o = zorro_self_attention(q, k, v, types, fusion_type)
+        return jnp.sum(jnp.sin(o))  # nontrivial cotangent
+
+    def loss_ref(q, k, v):
+        o = xla_reference(q, k, v, types, fusion_type)
+        return jnp.sum(jnp.sin(o))
+
+    g_pl = jax.grad(loss_pl, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_pl, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=3e-5)
+
+
+def test_forward_parity_bf16():
+    q, k, v, types = make_inputs(2, 1, 32, 2, 8)
+    q, k, v = (t.astype(jnp.bfloat16) for t in (q, k, v))
+    out_pl = zorro_self_attention(q, k, v, types, 3)
+    out_ref = xla_reference(q, k, v, types, 3)
+    np.testing.assert_allclose(
+        np.asarray(out_pl, np.float32), np.asarray(out_ref, np.float32), atol=3e-2
+    )
+
+
+def test_model_pallas_vs_xla_forward():
+    """Whole-model parity: attn_impl='pallas' (interpret) vs 'xla'."""
+    from tests.test_model import DOMAINS, NP_, batch, tiny_model
+    from incomplete_multimodal_fusion_tpu.ops import masking
+
+    x = batch(10)
+    mi = masking.generate_random_masks(jax.random.PRNGKey(3), DOMAINS, (NP_,) * 3, 24, 2)
+    m_xla = tiny_model(attn_impl="xla")
+    m_pl = tiny_model(attn_impl="pallas")
+    params = m_xla.init(jax.random.PRNGKey(0), x, mi, 24)["params"]
+    o_xla = m_xla.apply({"params": params}, x, mi, 24)
+    o_pl = m_pl.apply({"params": params}, x, mi, 24)
+    for d in DOMAINS:
+        np.testing.assert_allclose(
+            np.asarray(o_xla["preds"][d]), np.asarray(o_pl["preds"][d]), atol=1e-4
+        )
+    np.testing.assert_allclose(
+        np.asarray(o_xla["pooled"]), np.asarray(o_pl["pooled"]), atol=1e-4
+    )
