@@ -1,0 +1,230 @@
+"""Downstream segmentation trainer
+(reference downstream/instance_segmentation/maskformer_train_ins_vit.py:39-369
+and semantic maskformer_train_seg.py).
+
+Train step: random modality subset -> keep-ratio masking -> MaskFormer
+forward -> set criterion with deep supervision -> weighted total
+``0.3*ce + 0.3*dice + 0.4*mask`` (:228) -> AdamW with full-model grad clip
+(:66-99 wrapper; SOLVER.CLIP_GRADIENTS.CLIP_VALUE=0.01) and frozen backbone
+stages via a zero-update optax mask (_freeze_stages :682-730).
+Host-side ReduceLROnPlateau on eval dice (:155, :173).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..eval.metrics import binary_mask_from_labels, dice_score, semantic_inference
+from ..losses.set_criterion import SegTargets, set_criterion
+from ..models.maskformer import MaskFormerConfig, MaskFormerModel
+from ..ops import masking
+
+
+class DownstreamState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    rng: jax.Array
+
+
+FROZEN_PREFIXES_BACKBONE = (
+    # _freeze_stages (multimae_big_imcomplete.py:682-730): input adapters,
+    # fusion tokens, fusion blocks; encoder blocks 1..frozen_stages
+    "backbone/input_adapter_",
+    "backbone/fusion_tokens",
+    "backbone/fus_block",
+)
+
+
+def freeze_mask(params, frozen_stages: int):
+    """True = trainable."""
+
+    def trainable(path, leaf):
+        p = "/".join(str(getattr(k, "key", k)) for k in path)
+        if any(p.startswith(f) for f in FROZEN_PREFIXES_BACKBONE):
+            return False
+        if p.startswith("backbone/block"):
+            try:
+                idx = int(p.split("/")[1][len("block"):])
+            except ValueError:
+                return True
+            if 1 <= idx <= frozen_stages:
+                return False
+        return True
+
+    return jax.tree_util.tree_map_with_path(trainable, params)
+
+
+def create_downstream_optimizer(
+    params,
+    lr: float = 1e-4,
+    clip_grad: float = 0.01,
+    frozen_stages: int = 0,
+    optimizer: str = "adamw",
+):
+    chain = []
+    if clip_grad:
+        chain.append(optax.clip_by_global_norm(clip_grad))
+    if optimizer == "adamw":
+        opt = optax.adamw  # AdamW defaults (maskformer cfg SOLVER)
+        chain.append(optax.inject_hyperparams(opt)(learning_rate=lr))
+    else:
+        chain.append(
+            optax.inject_hyperparams(
+                lambda learning_rate: optax.sgd(learning_rate, momentum=0.9)
+            )(learning_rate=lr)
+        )
+    tx = optax.chain(*chain)
+    if frozen_stages > 0:
+        frozen = jax.tree.map(lambda t: not t, freeze_mask(params, frozen_stages))
+        tx = optax.chain(tx, optax.masked(optax.set_to_zero(), frozen))
+    return tx
+
+
+def set_learning_rate(opt_state, lr: float):
+    """Host-side LR override (ReduceLROnPlateau applies through this)."""
+
+    def visit(s):
+        if hasattr(s, "hyperparams") and "learning_rate" in s.hyperparams:
+            s.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+
+    jax.tree.map(lambda x: x, opt_state)  # no-op traversal for pytrees
+    for leaf in jax.tree.leaves(opt_state, is_leaf=lambda s: hasattr(s, "hyperparams")):
+        visit(leaf)
+    return opt_state
+
+
+class ReduceLROnPlateau:
+    """torch.optim.lr_scheduler.ReduceLROnPlateau 'min' semantics
+    (maskformer_train_ins_vit.py:155)."""
+
+    def __init__(self, lr: float, factor: float = 0.1, patience: int = 10,
+                 mode: str = "min", min_lr: float = 0.0):
+        self.lr = lr
+        self.factor = factor
+        self.patience = patience
+        self.sign = 1.0 if mode == "min" else -1.0
+        self.best = float("inf")
+        self.bad_epochs = 0
+        self.min_lr = min_lr
+
+    def step(self, metric: float) -> float:
+        v = self.sign * metric
+        if v < self.best - 1e-12:
+            self.best = v
+            self.bad_epochs = 0
+        else:
+            self.bad_epochs += 1
+            if self.bad_epochs > self.patience:
+                self.lr = max(self.lr * self.factor, self.min_lr)
+                self.bad_epochs = 0
+        return self.lr
+
+
+def load_pretrained_backbone(params: Dict, pretrain_params: Dict) -> Tuple[Dict, Dict]:
+    """Copy the intersection of pretraining MultiMAE params into the
+    'backbone' subtree, non-strict with key reporting (reference
+    checkpoint.py:26-72 + multimae_big_imcomplete.py:447-460)."""
+    import flax
+
+    flat_bb = flax.traverse_util.flatten_dict(params["backbone"])
+    flat_pre = flax.traverse_util.flatten_dict(pretrain_params)
+    copied, skipped, missing = [], [], []
+    for k in flat_bb:
+        if k in flat_pre and flat_pre[k].shape == flat_bb[k].shape:
+            flat_bb[k] = flat_pre[k]
+            copied.append("/".join(k))
+        else:
+            missing.append("/".join(k))
+    for k in flat_pre:
+        if k not in flat_bb:
+            skipped.append("/".join(k))
+    new_bb = flax.traverse_util.unflatten_dict(flat_bb)
+    new_params = dict(params)
+    new_params["backbone"] = new_bb
+    report = {"copied": copied, "missing_in_ckpt": missing, "unused_from_ckpt": skipped}
+    return new_params, report
+
+
+def make_downstream_train_step(
+    model: MaskFormerModel,
+    cfg: MaskFormerConfig,
+    tx,
+    loss_weights: Tuple[float, float, float] = (0.3, 0.3, 0.4),  # ce, dice, mask
+    num_points: int = 12544,
+    eos_coef: float = 0.1,
+    dense_masks: bool = False,
+    compute_dtype: str = "bfloat16",
+):
+    w_ce, w_dice, w_mask = loss_weights
+    dtype = jnp.dtype(compute_dtype)
+    in_domains = tuple(cfg.in_domains)
+    nums = (cfg.num_patches,) * len(in_domains)
+    e = cfg.max_encoded_tokens
+
+    def cast(t):
+        return jax.tree.map(
+            lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x, t
+        )
+
+    def loss_fn(params, batch, targets, mask_info, present, keys):
+        out = model.apply(
+            {"params": cast(params)}, cast(batch), mask_info=mask_info,
+            num_encoded_tokens=e, present=present, deterministic=False,
+            rngs={"dropout": keys[0]},
+        )
+        out = jax.tree.map(lambda x: x.astype(jnp.float32), out)
+        losses = set_criterion(
+            out, targets, keys[1], num_classes=cfg.num_classes,
+            eos_coef=eos_coef, num_points=num_points, dense_masks=dense_masks,
+        )
+        l_ce = sum(v for k, v in losses.items() if "ce" in k)
+        l_dice = sum(v for k, v in losses.items() if "dice" in k)
+        l_mask = sum(v for k, v in losses.items() if k.startswith("loss_mask"))
+        total = w_ce * l_ce + w_dice * l_dice + w_mask * l_mask  # (:228)
+        return total, {"loss": total, "loss_ce": l_ce, "loss_dice": l_dice,
+                       "loss_mask": l_mask}
+
+    def train_step(state: DownstreamState, batch, targets: SegTargets):
+        rng, k_sub, k_mask, k_drop, k_crit = jax.random.split(state.rng, 5)
+        present = masking.sample_modality_subset(k_sub, len(in_domains))
+        mask_info = masking.incomplete_random_masks(
+            k_mask, in_domains, nums, present, e,
+            batch[in_domains[0]].shape[0], keep_ratio=cfg.keep_ratio,
+        )
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, targets, mask_info, present, (k_drop, k_crit)
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(step=state.step + 1, params=params,
+                             opt_state=opt_state, rng=rng), metrics
+
+    return train_step
+
+
+def make_eval_step(model: MaskFormerModel, cfg: MaskFormerConfig):
+    """Dice eval on full-modality inputs (maskformer_train_ins_vit.py:269-306)."""
+
+    def eval_step(params, batch, gt_label_map):
+        out = model.apply({"params": params}, batch)
+        masks = out["pred_masks"]
+        h, w = gt_label_map.shape[-2:]
+        masks = jax.image.resize(
+            masks, masks.shape[:2] + (h, w), method="bilinear"
+        )
+        sem = semantic_inference(out["pred_logits"], masks)  # [B, K, H, W]
+
+        def one(sem_i, gt_i):
+            gt_bin = binary_mask_from_labels(gt_i, cfg.num_classes)
+            return dice_score(sem_i, gt_bin)
+
+        return jnp.mean(jax.vmap(one)(sem, gt_label_map))
+
+    return eval_step

@@ -33,6 +33,29 @@ def latest_step(directory: str) -> Optional[int]:
     return max(steps) if steps else None
 
 
+def restore_params(directory: str, params_template: Any, step: Optional[int] = None) -> Any:
+    """Restore just the `params` subtree of a saved train state — works even
+    when the optimizer chain (and thus opt_state structure) has changed
+    (lenient-load role of reference checkpoint.py:26-72)."""
+    directory = os.path.abspath(directory)
+    if step is None:
+        step = latest_step(directory)
+    if step is None:
+        return params_template
+    path = os.path.join(directory, f"checkpoint-{step}")
+    with ocp.PyTreeCheckpointer() as ckptr:
+        raw = ckptr.restore(path)
+    source = raw.get("params", raw) if isinstance(raw, dict) else raw
+    import flax
+
+    flat_t = flax.traverse_util.flatten_dict(params_template)
+    flat_s = flax.traverse_util.flatten_dict(source)
+    for k in flat_t:
+        if k in flat_s and flat_s[k].shape == flat_t[k].shape:
+            flat_t[k] = flat_t[k].__class__(flat_s[k]) if not hasattr(flat_s[k], "device") else flat_s[k]
+    return flax.traverse_util.unflatten_dict(flat_t)
+
+
 def restore_checkpoint(directory: str, state: Any, step: Optional[int] = None) -> Any:
     """Restore into the structure of `state` (auto_load_model equivalent,
     checkpoint.py:103-134). Returns `state` unchanged if nothing to restore."""

@@ -118,8 +118,10 @@ def main():
     from incomplete_multimodal_fusion_tpu.utils import checkpoint as ckpt_lib
     from incomplete_multimodal_fusion_tpu.utils.logging import MetricLogger
 
-    n_dev = jax.device_count()
-    mesh = mesh_lib.data_parallel_mesh()
+    import math
+
+    n_dev = math.gcd(cfg.data.batch_size * jax.device_count(), jax.device_count())
+    mesh = mesh_lib.make_mesh((n_dev,), ("data",), devices=jax.devices()[:n_dev])
     global_batch = cfg.data.batch_size * n_dev
     steps_per_epoch = args.steps_per_epoch
     total_steps = steps_per_epoch * cfg.train.epochs

@@ -1,0 +1,210 @@
+"""Downstream trainer / metrics / inference-handler tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from incomplete_multimodal_fusion_tpu import infer_segmentation as infseg
+from incomplete_multimodal_fusion_tpu.eval.metrics import (
+    ConfMatrix,
+    dice_score,
+    instance_inference,
+    semantic_inference,
+)
+from incomplete_multimodal_fusion_tpu.losses.set_criterion import SegTargets
+from incomplete_multimodal_fusion_tpu.train import downstream as ds
+from tests.test_downstream_model import CFG, DOMAINS, batch
+
+from incomplete_multimodal_fusion_tpu.models.maskformer import MaskFormerModel
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = MaskFormerModel(CFG)
+    x = batch(0)
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    return model, params, x
+
+
+def make_targets(b=2):
+    masks = np.zeros((b, 4, 16, 16), np.float32)
+    masks[:, 0, :, :8] = 1
+    masks[:, 1, 8:, :] = 1
+    labels = np.asarray([[0, 1, -1, -1]] * b, np.int32)
+    valid = np.asarray([[True, True, False, False]] * b)
+    return SegTargets(jnp.asarray(labels), jnp.asarray(masks), jnp.asarray(valid))
+
+
+class TestTrainer:
+    def test_train_step_decreases_loss(self, setup):
+        model, params, x = setup
+        tx = ds.create_downstream_optimizer(params, lr=1e-3, clip_grad=0.0)
+        state = ds.DownstreamState(
+            step=jnp.zeros((), jnp.int32), params=params,
+            opt_state=tx.init(params), rng=jax.random.PRNGKey(0),
+        )
+        step = jax.jit(ds.make_downstream_train_step(
+            model, CFG, tx, num_points=64, compute_dtype="float32"))
+        targets = make_targets()
+        losses = []
+        for _ in range(8):
+            state, m = step(state, x, targets)
+            losses.append(float(m["loss"]))
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0], losses
+
+    def test_full_model_clip(self, setup):
+        """SOLVER clip 0.01 (maskformer_train_ins_vit.py:66-99)."""
+        model, params, x = setup
+        tx = ds.create_downstream_optimizer(params, lr=1e-3, clip_grad=0.01)
+        state = ds.DownstreamState(
+            step=jnp.zeros((), jnp.int32), params=params,
+            opt_state=tx.init(params), rng=jax.random.PRNGKey(1),
+        )
+        step = jax.jit(ds.make_downstream_train_step(
+            model, CFG, tx, num_points=32, compute_dtype="float32"))
+        state, m = step(state, x, make_targets())
+        assert np.isfinite(float(m["loss"]))
+
+    def test_freeze_mask(self, setup):
+        model, params, x = setup
+        mask = ds.freeze_mask(params, frozen_stages=3)
+        import flax
+
+        flat = flax.traverse_util.flatten_dict(mask)
+        # backbone block1..3 frozen, block0 trainable
+        assert not any(v for k, v in flat.items() if k[0] == "backbone" and k[1] == "block1")
+        assert all(v for k, v in flat.items() if k[0] == "backbone" and k[1] == "block0")
+        # head trainable
+        assert all(v for k, v in flat.items() if k[0] == "predictor")
+        # input adapters + fus blocks frozen
+        assert not any(v for k, v in flat.items() if k[0] == "backbone" and k[1].startswith("input_adapter"))
+
+    def test_frozen_params_unchanged_after_step(self, setup):
+        model, params, x = setup
+        tx = ds.create_downstream_optimizer(params, lr=1e-2, clip_grad=0.0, frozen_stages=3)
+        state = ds.DownstreamState(
+            step=jnp.zeros((), jnp.int32), params=params,
+            opt_state=tx.init(params), rng=jax.random.PRNGKey(2),
+        )
+        step = jax.jit(ds.make_downstream_train_step(
+            model, CFG, tx, num_points=32, compute_dtype="float32"))
+        new_state, _ = step(state, x, make_targets())
+        frozen_before = params["backbone"]["block1"]
+        frozen_after = new_state.params["backbone"]["block1"]
+        for a, b_ in zip(jax.tree.leaves(frozen_before), jax.tree.leaves(frozen_after)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+        # trainable did move
+        assert not np.allclose(
+            np.asarray(jax.tree.leaves(params["predictor"])[0]),
+            np.asarray(jax.tree.leaves(new_state.params["predictor"])[0]),
+        )
+
+    def test_plateau_scheduler(self):
+        sch = ds.ReduceLROnPlateau(lr=1.0, factor=0.1, patience=1)
+        assert sch.step(1.0) == 1.0  # improves (inf -> 1.0)
+        assert sch.step(1.0) == 1.0  # bad 1
+        assert sch.step(1.0) == pytest.approx(0.1)  # bad 2 > patience -> drop
+        assert sch.step(0.5) == pytest.approx(0.1)  # improvement, no change
+
+    def test_load_pretrained_backbone(self, setup):
+        """Pretrain MultiMAE params restore into the backbone subtree."""
+        from incomplete_multimodal_fusion_tpu.models.multimae import MultiMAE
+        from incomplete_multimodal_fusion_tpu.ops import masking as mk
+        from tests.test_model import NP_ as PNP, batch as pbatch, tiny_model
+
+        model, params, x = setup
+        pre = tiny_model()
+        mi = mk.full_visible_mask_info(DOMAINS, (PNP,) * 3, 2)
+        pre_params = pre.init(jax.random.PRNGKey(5), pbatch(0), mi, 3 * PNP)["params"]
+        new_params, report = ds.load_pretrained_backbone(params, pre_params)
+        assert len(report["copied"]) > 20, report["copied"][:5]
+        # a copied leaf matches the pretrain value
+        np.testing.assert_array_equal(
+            np.asarray(new_params["backbone"]["fusion_tokens"]),
+            np.asarray(pre_params["fusion_tokens"]),
+        )
+        # pyramid exists only downstream -> reported missing
+        assert any(k.startswith("pyramid") for k in report["missing_in_ckpt"])
+
+    def test_eval_step_dice(self, setup):
+        model, params, x = setup
+        ev = jax.jit(ds.make_eval_step(model, CFG))
+        gt = jnp.asarray(np.random.default_rng(0).integers(0, 4, (2, 64, 64)), jnp.int32)
+        d = float(ev(params, x, gt))
+        assert 0.0 <= d <= 1.0
+
+
+class TestMetrics:
+    def test_confmatrix_miou(self):
+        cm = ConfMatrix(3, ignore_zero=False)
+        gt = np.asarray([[0, 1], [2, 2]])
+        pred = np.asarray([[0, 1], [2, 1]])
+        cm.add(gt, pred)
+        iou = cm.get_iou()
+        np.testing.assert_allclose(iou, [1.0, 0.5, 0.5])
+        assert cm.get_miou() == pytest.approx(2 / 3)
+
+    def test_confmatrix_ignore_zero(self):
+        cm = ConfMatrix(3)
+        cm.add(np.asarray([0, 0, 1]), np.asarray([1, 2, 1]))
+        assert cm.state.sum() == 1  # only the gt=1 pixel counted
+
+    def test_semantic_inference_shapes(self):
+        cls = jnp.zeros((2, 5, 4))
+        masks = jnp.zeros((2, 5, 8, 8))
+        sem = semantic_inference(cls, masks)
+        assert sem.shape == (2, 3, 8, 8)
+
+    def test_instance_inference(self):
+        rng = np.random.default_rng(0)
+        cls = jnp.asarray(rng.standard_normal((6, 4)), jnp.float32)
+        masks = jnp.asarray(rng.standard_normal((6, 8, 8)), jnp.float32)
+        res = instance_inference(cls, masks, num_classes=3, topk=5)
+        assert res["scores"].shape == (5,)
+        assert res["pred_masks"].shape == (5, 8, 8)
+        assert (np.asarray(res["pred_classes"]) < 3).all()
+
+
+class TestInferHandlers:
+    def test_forward_segmentation(self, setup):
+        model, params, x = setup
+        seg = infseg.forward_segmentation(model, params, x, CFG.num_classes)
+        assert seg.shape == (2, 64, 64)
+        assert np.asarray(seg).min() >= 1  # argmax+1 skips ignore class
+
+    def test_forward_segmentation_dropped_modality(self, setup):
+        model, params, x = setup
+        seg = infseg.forward_segmentation(model, params, x, CFG.num_classes,
+                                          drop_modalities=("dem",))
+        x2 = dict(x, dem=x["dem"] * 31.0)
+        seg2 = infseg.forward_segmentation(model, params, x2, CFG.num_classes,
+                                           drop_modalities=("dem",))
+        np.testing.assert_array_equal(np.asarray(seg), np.asarray(seg2))
+
+    def test_instance_handler(self, setup):
+        model, params, x = setup
+        res = infseg.forward_instance_segmentation(model, params, x, topk=7)
+        assert len(res) == 2 and res[0]["pred_masks"].shape == (7, 64, 64)
+
+    def test_panoptic(self):
+        rng = np.random.default_rng(1)
+        cls = jnp.asarray(rng.standard_normal((6, 4)) * 5, jnp.float32)
+        masks = jnp.asarray(rng.standard_normal((6, 16, 16)) * 5, jnp.float32)
+        pan, segs = infseg.panoptic_inference(cls, masks, object_mask_threshold=0.1,
+                                              overlap_threshold=0.1)
+        assert pan.shape == (16, 16)
+        assert len(segs) == len(set(np.asarray(pan).flatten()) - {0})
+
+    def test_pad_to_divisible(self):
+        img = jnp.ones((1, 30, 45, 3))
+        out, size = infseg.pad_to_divisible(img, 32)
+        assert out.shape == (1, 32, 64, 3) and size == (30, 45)
+
+    def test_save_png(self, tmp_path, setup):
+        model, params, x = setup
+        seg = infseg.forward_segmentation(model, params, x, CFG.num_classes)
+        p = infseg.save_segmentation_png(np.asarray(seg[0]), str(tmp_path / "t_seg.png"))
+        import os
+
+        assert os.path.getsize(p) > 0
