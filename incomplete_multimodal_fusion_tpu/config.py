@@ -92,6 +92,8 @@ class TrainConfig:
     contra_weight: float = 0.3  # pretrain_mmae.py:500
     loss_on_unmasked: bool = False
     compute_dtype: str = "bfloat16"  # TPU-native AMP; 'float32' for parity tests
+    use_ema: bool = False  # model EMA (reference model_ema.py, unwired there)
+    ema_decay: float = 0.9999
     # mesh axes: data parallel is the reference's only parallelism (SURVEY §2.4)
     mesh_shape: Tuple[int, ...] = (-1,)
     mesh_axes: Tuple[str, ...] = ("data",)

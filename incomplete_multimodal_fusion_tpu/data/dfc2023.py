@@ -73,8 +73,22 @@ def _resize_area(img: np.ndarray, size: int) -> np.ndarray:
     return img[:, ys][:, :, xs]
 
 
+def _native():
+    """Native C++ kernels (data/native.py) when built; None otherwise."""
+    try:
+        from . import native
+
+        return native if native.available() else None
+    except Exception:
+        return None
+
+
 def load_sar(path: str, size: int = 256) -> np.ndarray:
     sar = _read_raster(path)
+    nat = _native()
+    if nat is not None and sar.shape[1] % size == 0 and sar.shape[2] % size == 0:
+        return nat.box_resize(nat.sar_normalize(sar), size) if sar.shape[1:] != (size, size) \
+            else nat.sar_normalize(sar)
     sar = 10.0 * np.log10(sar + 1e-7)
     sar = np.clip(sar, -25, 0)
     sar = np.nan_to_num(sar)
@@ -83,13 +97,21 @@ def load_sar(path: str, size: int = 256) -> np.ndarray:
 
 
 def load_rgb(path: str, size: int = 256) -> np.ndarray:
-    rgb = np.nan_to_num(_read_raster(path))
+    rgb = _read_raster(path)
+    nat = _native()
+    if nat is not None and rgb.shape[0] == 3 and rgb.shape[1:] == (size, size):
+        return nat.rgb_normalize(rgb)
+    rgb = np.nan_to_num(rgb)
     rgb = _resize_area(rgb, size)
     return ((rgb - RGB_MEAN[:, None, None]) / RGB_STD[:, None, None]).astype(np.float32)
 
 
 def load_dsm(path: str, size: int = 256) -> np.ndarray:
-    dsm = np.nan_to_num(_read_raster(path)[:1])
+    dsm = _read_raster(path)[:1]
+    nat = _native()
+    if nat is not None and dsm.shape[1:] == (size, size):
+        return nat.dsm_standardize(dsm)
+    dsm = np.nan_to_num(dsm)
     dsm = _resize_area(dsm, size)
     return ((dsm - dsm.mean()) / np.sqrt(dsm.var() + 1e-6)).astype(np.float32)
 

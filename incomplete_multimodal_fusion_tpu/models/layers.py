@@ -337,5 +337,40 @@ class ViTDecoderBlock(nn.Module):
         return x
 
 
+class AttentionBiLSTM(nn.Module):
+    """BiLSTM + attention pooling over a short axis
+    (zorro_utils.py:276-299 AttentionBiLSTM / Attention_LSTM): run a
+    bidirectional LSTM over the m-axis, sum the two directions, score each
+    position with Linear(tanh(y)), softmax, weighted-sum."""
+
+    @nn.compact
+    def __call__(self, x):  # [N, M, D] -> [N, D]
+        d = x.shape[-1]
+        m = x.shape[1]
+        cell_f = nn.LSTMCell(features=d, name="lstm_fwd")
+        cell_b = nn.LSTMCell(features=d, name="lstm_bwd")
+        # manual unroll over the short m-axis (2-5 steps): avoids lax.scan,
+        # which XLA:CPU SPMD-partitions into a deadlocking collective when
+        # the batch dim has been reshaped away
+        key = jax.random.PRNGKey(0)  # carry init is zeros; key unused
+        carry = cell_f.initialize_carry(key, x[:, 0].shape)
+        fwd_ys = []
+        for t in range(m):
+            carry, y = cell_f(carry, x[:, t])
+            fwd_ys.append(y)
+        carry = cell_b.initialize_carry(key, x[:, 0].shape)
+        bwd_ys = [None] * m
+        for t in reversed(range(m)):
+            carry, y = cell_b(carry, x[:, t])
+            bwd_ys[t] = y
+        fwd = jnp.stack(fwd_ys, axis=1)
+        bwd = jnp.stack(bwd_ys, axis=1)
+        y = fwd + bwd  # reference sums the direction outputs (:295)
+        scores = nn.Dense(1, kernel_init=nn.initializers.xavier_uniform(),
+                          name="attention")(jnp.tanh(y))[..., 0]
+        alpha = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(y.dtype)
+        return jnp.einsum("nm,nmd->nd", alpha, y)
+
+
 def trunc_normal_init(std: float = 0.02):
     return nn.initializers.truncated_normal(stddev=std, lower=-2.0, upper=2.0)

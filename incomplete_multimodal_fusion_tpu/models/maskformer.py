@@ -34,6 +34,12 @@ class MaskFormerConfig:
     heads: int = 3
     num_fusion_tokens: int = 256
     frozen_stages: int = 11
+    fusion_mode: str = "crossattn"  # 'crossattn' | 'sup' (multimae_sup.py)
+    # 'vit' = incomplete-fusion ViT (MaskFormerModel_vit.py);
+    # 'resnet18/34/50/101/152' = CNN variant on a single input tensor
+    # (MaskFormerModel.py:80-105 + backbone/resnet.py) with frozen BN stats
+    backbone_type: str = "vit"
+    resnet_input: str = "s2"
     # head (maskformer_ake150.yaml)
     conv_dim: int = 256
     mask_dim: int = 256
@@ -79,18 +85,25 @@ class MaskFormerModel(nn.Module):
         else:
             e = num_encoded_tokens or c.max_encoded_tokens
 
-        backbone = ViTBaseline(
-            in_domains=c.in_domains,
-            image_size=c.image_size,
-            patch_size=c.patch_size,
-            dim_tokens=c.dim_tokens,
-            depth=c.depth,
-            dim_head=c.dim_head,
-            heads=c.heads,
-            num_fusion_tokens=c.num_fusion_tokens,
-            name="backbone",
-        )
-        feats = backbone(x, mask_info, e, present=present, deterministic=deterministic)
+        if c.backbone_type.startswith("resnet"):
+            from .resnet import ResNet
+
+            depth = int(c.backbone_type[len("resnet"):])
+            feats = ResNet(depth=depth, name="backbone")(x[c.resnet_input])
+        else:
+            backbone = ViTBaseline(
+                in_domains=c.in_domains,
+                image_size=c.image_size,
+                patch_size=c.patch_size,
+                dim_tokens=c.dim_tokens,
+                depth=c.depth,
+                dim_head=c.dim_head,
+                heads=c.heads,
+                num_fusion_tokens=c.num_fusion_tokens,
+                fusion_mode=c.fusion_mode,
+                name="backbone",
+            )
+            feats = backbone(x, mask_info, e, present=present, deterministic=deterministic)
 
         mask_features, ms_feats = MSDeformAttnPixelDecoder(
             conv_dim=c.conv_dim,

@@ -98,9 +98,13 @@ class MultiMAE(nn.Module):
                     name=f"input_adapter_{d}",
                 )
         self.input_adapters = in_ad
+        def out_channels(spec):
+            # semseg outputs class logits (dnw: 9, pretrain_mmae_my.py:69-75)
+            return spec.num_classes if spec.loss == "cross_entropy" else spec.num_channels
+
         self.output_adapters = {
             d: SpatialOutputAdapter(
-                num_channels=modreg.get(d).num_channels,
+                num_channels=out_channels(modreg.get(d)),
                 patch_size=self.patch_size,
                 image_size=self.image_size,
                 stride_level=modreg.get(d).stride_level,
@@ -153,6 +157,10 @@ class MultiMAE(nn.Module):
                 )
                 for i in range(self.depth)
             ]
+        if self.fusion_mode == "lstm":
+            from .layers import AttentionBiLSTM
+
+            self.attn_lstm = AttentionBiLSTM(name="attn_lstm")
         self.norm = BiaslessLayerNorm(name="norm")
 
     def _fusion_grid(self, tokens, mask_info: MaskInfo, num_encoded_tokens: int):
@@ -209,6 +217,12 @@ class MultiMAE(nn.Module):
         full = jnp.concatenate([input_task_tokens[d] for d in self.in_domains], axis=1)
         keep = mask_info.order[:, :e]
         packed = jnp.take_along_axis(full, keep[..., None], axis=1)  # [B, E, D]
+
+        if self.fusion_mode == "lstm":
+            return self._forward_lstm(
+                packed, fusion_tokens, mask_info, e, deterministic
+            )
+
         tokens = jnp.concatenate([packed, fusion_tokens], axis=1)  # [B, E+F, D]
 
         nums = tuple(self.num_patches for _ in self.in_domains)
@@ -276,6 +290,91 @@ class MultiMAE(nn.Module):
             "fusion_tokens": encoder_fusion_tokens,
             "pooled_mod": pooled_mod,  # {domain: [B, D]} fusion-stream pools
         }
+
+
+def _multimae_forward_lstm(self, packed, fusion_full, mask_info, e, deterministic):
+    """fusion_mode='lstm' (reference multimae_lstm.py / multimae_lstm_s2dsm.py):
+    the fusion stream is gathered at the packed visible positions (:394);
+    one AttentionBiLSTM fuses the [token, fusion] pair per position before
+    the block loop (:437-442); after encoding, fusion tokens are scattered
+    back to the full grid for the output adapters (:484-494)."""
+    b = packed.shape[0]
+    f = self.num_fusion_tokens
+    dtype = packed.dtype
+    # fusion token per packed slot = grid entry at the modality-LOCAL index
+    # (reference complete_fusion_tokens[:, cat(s1_idx, s2_idx, dem_idx)],
+    # multimae_lstm.py:394 — each idx is local to its modality's grid)
+    keep = mask_info.order[:, :e] % f
+    fusion_stream = jnp.take_along_axis(fusion_full, keep[..., None], axis=1)  # [B,E,D]
+
+    # single BiLSTM fusion of the (modality token, fusion token) pair
+    stack = jnp.stack([packed, fusion_stream], axis=2)  # [B, E, 2, D]
+    fused = self.attn_lstm(stack.reshape(b * e, 2, -1)).reshape(b, e, -1)
+    tokens = jnp.concatenate([packed, fused], axis=1)  # [B, 2E, D]
+
+    nums = tuple(self.num_patches for _ in self.in_domains)
+    mod_types = packed_token_types(mask_info.order, nums, e, 0, self.fusion_type)
+    slot_valid = packed_valid(mask_info.num_visible, e, 0)
+    fus_types = jnp.full((b, e), self.fusion_type, jnp.int32)
+    types = jnp.concatenate([mod_types, fus_types], axis=1)
+    valid = jnp.concatenate([slot_valid, slot_valid], axis=1)
+    types_padded = jnp.where(valid, types, PAD_TYPE)
+    use_pallas = self.attn_impl == "pallas" or (
+        self.attn_impl == "auto" and jax.default_backend() == "tpu"
+        and pallas_supported(2 * e)
+    )
+
+    for blk in self.blocks:
+        tokens = blk(tokens, packed_types=types_padded, fusion_type=self.fusion_type,
+                     use_pallas=use_pallas, deterministic=deterministic)
+    tokens = self.norm(tokens)
+
+    ret_types = jnp.arange(len(self.in_domains) + 1, dtype=jnp.int32)
+    pool_mask = zorro_mask_from_types(
+        jnp.broadcast_to(ret_types[None], (b, ret_types.shape[0])),
+        types, self.fusion_type, valid_k=valid,
+    )[:, None]
+    ret = jnp.broadcast_to(self.return_tokens.astype(dtype), (b,) + self.return_tokens.shape[1:])
+    ret = self.attn_pool(ret, context=tokens, attn_mask=pool_mask)
+    ret = ret + self.mlp(self.norm(ret))
+
+    fusion_part = tokens[:, e:, :]  # aligned with packed slots
+    # scatter back to the full fusion grid (multimae_lstm.py:484-494)
+    slot = mask_info.ids_restore  # [B, T*F]; grid positions beyond F handled below
+    gathered = jnp.take_along_axis(fusion_part, jnp.clip(slot, 0, e - 1)[..., None], axis=1)
+    use = (slot < e) & (slot < mask_info.num_visible[:, None])
+    t_mod = len(self.in_domains)
+    # the grid has F slots; visible positions may come from any modality's
+    # section of the global index space — fold to grid position (idx % F);
+    # later modalities overwrite earlier ones like the reference's
+    # sequential scatter over cat(s1_idx, s2_idx, dem_idx)
+    grid_complete = fusion_full
+    for m in range(t_mod):
+        seg_use = use[:, m * f : (m + 1) * f]
+        seg_val = gathered[:, m * f : (m + 1) * f]
+        grid_complete = jnp.where(seg_use[..., None], seg_val, grid_complete)
+
+    preds = {d: self.output_adapters[d](grid_complete) for d in self.out_domains}
+
+    pooled_mod = {}
+    for i, d in enumerate(self.in_domains):
+        key_mask = ((mod_types == i) & slot_valid)[:, None, None, :]
+        p = jnp.broadcast_to(self.pool_tokens[d].astype(dtype), (b, 1, self.dim_tokens))
+        p = self.attn_pool(p, context=fusion_part, attn_mask=key_mask)
+        p = p + self.mlp(self.norm(p))
+        pooled_mod[d] = p[:, 0, :]
+
+    return {
+        "preds": preds,
+        "task_masks": mask_info.task_masks,
+        "pooled": ret,
+        "ori_tokens": tokens[:, :e, :],
+        "fusion_tokens": grid_complete,
+        "pooled_mod": pooled_mod,
+    }
+
+
+MultiMAE._forward_lstm = _multimae_forward_lstm
 
 
 def build_multimae(cfg) -> MultiMAE:

@@ -68,6 +68,11 @@ class ViTBaseline(nn.Module):
     ff_mult: int = 4
     num_fusion_tokens: int = 256
     attn_impl: str = "auto"
+    # 'crossattn' = fusion-token stream + per-layer fusion blocks (flagship);
+    # 'sup' = supervised baseline without a fusion stream (multimae_sup.py:
+    # full-attention blocks over all tokens, posemb'd return tokens
+    # attention-pool the final tokens, replicated across the 4 taps)
+    fusion_mode: str = "crossattn"
 
     @property
     def num_patches(self) -> int:
@@ -103,24 +108,36 @@ class ViTBaseline(nn.Module):
                     name=f"input_adapter_{d}",
                 )
         self.input_adapters = in_ad
-        self.fusion_tokens = self.param(
-            "fusion_tokens", trunc_normal_init(0.02),
-            (1, self.num_fusion_tokens, self.dim_tokens),
-        )
-        self.mask_embedding = self.param(
-            "mask_embedding", nn.initializers.zeros,
-            (1, self.num_fusion_tokens, self.dim_tokens),
-        )
         self.blocks = [
             EncoderBlock(dim_head=self.dim_head, heads=self.heads,
                          ff_mult=self.ff_mult, name=f"block{i}")
             for i in range(self.depth)
         ]
-        self.fus_blocks = [
-            FusionBlock(dim_head=self.dim_head, heads=self.heads,
-                        ff_mult=self.ff_mult, name=f"fus_block{i}")
-            for i in range(self.depth)
-        ]
+        if self.fusion_mode == "crossattn":
+            self.fusion_tokens = self.param(
+                "fusion_tokens", trunc_normal_init(0.02),
+                (1, self.num_fusion_tokens, self.dim_tokens),
+            )
+            self.mask_embedding = self.param(
+                "mask_embedding", nn.initializers.zeros,
+                (1, self.num_fusion_tokens, self.dim_tokens),
+            )
+            self.fus_blocks = [
+                FusionBlock(dim_head=self.dim_head, heads=self.heads,
+                            ff_mult=self.ff_mult, name=f"fus_block{i}")
+                for i in range(self.depth)
+            ]
+        else:  # 'sup' (multimae_sup.py:78-85)
+            from .layers import Mlp, ZorroAttention
+
+            self.return_tokens = self.param(
+                "return_tokens", trunc_normal_init(0.02),
+                (1, self.num_fusion_tokens, self.dim_tokens),
+            )
+            self.attn_pool = ZorroAttention(
+                dim_head=self.dim_head, heads=self.heads, name="attn_pool"
+            )
+            self.mlp = Mlp(hidden_features=self.dim_tokens * 4, name="mlp")
         self.norm = BiaslessLayerNorm(name="norm")
         self.pyramid = FeaturePyramid(self.dim_tokens, name="pyramid")
 
@@ -144,6 +161,10 @@ class ViTBaseline(nn.Module):
             for d in self.in_domains
         }
         dtype = input_task_tokens[self.in_domains[0]].dtype
+
+        if self.fusion_mode == "sup":
+            return self._forward_sup(input_task_tokens, b, dtype, deterministic)
+
         hp = self.image_size // self.patch_size
         fus_pos = build_2d_sincos_posemb(hp, hp, self.dim_tokens)
         fusion_tokens = (self.fusion_tokens + fus_pos[None]).astype(dtype)
@@ -187,6 +208,24 @@ class ViTBaseline(nn.Module):
             o = self.norm(fusion_outs[tap])
             feats.append(o.reshape(b, hp, hp, self.dim_tokens))
         return self.pyramid(*feats)
+
+    def _forward_sup(self, input_task_tokens, b, dtype, deterministic):
+        """Supervised baseline (multimae_sup.py:315-357): full-attention
+        blocks over all modality tokens, posemb'd return tokens pool the
+        final stream, replicated across the 4 pyramid taps."""
+        hp = self.image_size // self.patch_size
+        tokens = jnp.concatenate(
+            [input_task_tokens[d] for d in self.in_domains], axis=1
+        )
+        for blk in self.blocks:
+            tokens = blk(tokens, deterministic=deterministic)
+        pos = build_2d_sincos_posemb(hp, hp, self.dim_tokens)
+        ret = (self.return_tokens + pos[None]).astype(dtype)
+        ret = jnp.broadcast_to(ret, (b, self.num_fusion_tokens, self.dim_tokens))
+        ret = self.attn_pool(ret, context=tokens)
+        ret = ret + self.mlp(self.norm(ret))
+        feat = self.norm(ret).reshape(b, hp, hp, self.dim_tokens)
+        return self.pyramid(feat, feat, feat, feat)
 
     def _fusion_grid(self, tokens, mask_info: MaskInfo, e: int):
         b = tokens.shape[0]

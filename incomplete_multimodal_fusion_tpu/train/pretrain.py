@@ -34,6 +34,7 @@ class TrainState(struct.PyTreeNode):
     balancer_params: Any
     opt_state: Any
     rng: jax.Array
+    ema_params: Any = None  # optional shadow copy (train/ema.py)
 
 
 def cast_tree(tree, dtype):
@@ -150,12 +151,18 @@ def make_train_step(model: MultiMAE, cfg: PretrainConfig, tx):
             )
         else:
             params_bal = state.balancer_params
+        ema = state.ema_params
+        if cfg.train.use_ema and ema is not None:
+            from .ema import update_ema
+
+            ema = update_ema(ema, params, cfg.train.ema_decay)
         new_state = state.replace(
             step=state.step + 1,
             params=params,
             balancer_params=params_bal,
             opt_state=opt_state,
             rng=rng,
+            ema_params=ema,
         )
         return new_state, metrics
 
@@ -197,11 +204,17 @@ def create_train_state(
         if cfg.optim.task_balancer == "uncertainty"
         else {}
     )
+    ema_params = None
+    if cfg.train.use_ema:
+        from .ema import init_ema
+
+        ema_params = init_ema(params)
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         balancer_params=balancer_params,
         opt_state=tx.init(params),
         rng=state_rng,
+        ema_params=ema_params,
     )
     return model, state, tx

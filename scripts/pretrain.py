@@ -30,7 +30,9 @@ def get_args():
     p.add_argument("--out_domains", type=str, default=None)
     p.add_argument("--model_size", type=str, default="tiny", choices=["tiny", "base", "large"])
     p.add_argument("--fusion_mode", type=str, default=None,
-                   choices=["crossattn", "zorro", "sup"])
+                   choices=["crossattn", "zorro", "lstm", "sup"])
+    p.add_argument("--use_ema", action="store_true", default=None,
+                   help="maintain a decay-0.9999 model EMA shadow")
     p.add_argument("--num_encoded_tokens", type=int, default=None)
     p.add_argument("--patch_size", type=int, default=None)
     p.add_argument("--input_size", type=int, default=None)
@@ -90,7 +92,8 @@ def build_config(args):
                 ("blr", "warmup_epochs", "weight_decay", "clip_grad", "skip_grad",
                  "task_balancer") if getattr(args, k) is not None}
     train_kw = {k: getattr(args, k) for k in
-                ("epochs", "save_ckpt_freq", "seed", "output_dir", "compute_dtype")
+                ("epochs", "save_ckpt_freq", "seed", "output_dir", "compute_dtype",
+                 "use_ema")
                 if getattr(args, k) is not None}
     return cfg_lib.PretrainConfig(
         model=model_cfg,
