@@ -64,6 +64,7 @@ class DecoderConfig:
     num_heads: int = 8
     use_task_queries: bool = True
     use_xattn: bool = True
+    style: str = "simple"  # 'simple' | 'full' (output_adapters{_simple,}.py)
 
 
 @dataclass(frozen=True)

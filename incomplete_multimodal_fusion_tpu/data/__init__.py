@@ -1,3 +1,3 @@
-from . import synthetic, dfc2023, coco_instance, quadruplet
+from . import synthetic, dfc2023, coco_instance, quadruplet, ade_odgt
 
-__all__ = ["synthetic", "dfc2023", "coco_instance", "quadruplet"]
+__all__ = ["synthetic", "dfc2023", "coco_instance", "quadruplet", "ade_odgt"]

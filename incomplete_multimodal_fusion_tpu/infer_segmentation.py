@@ -129,6 +129,56 @@ def panoptic_inference(
     return jnp.asarray(pan), segments
 
 
+def semantic_inference_with_tta(
+    model,
+    params,
+    inputs: Dict[str, jnp.ndarray],
+    scales: Sequence[float] = (0.75, 1.0, 1.25),
+    flip: bool = True,
+) -> jnp.ndarray:
+    """Multi-scale + horizontal-flip test-time augmentation
+    (reference utils/test_time_augmentation.py:21-100
+    SemanticSegmentorWithTTA): average the per-class probability maps over
+    the augmented views. Returns [B, K, H, W] averaged probabilities."""
+    base_hw = inputs[model.cfg.in_domains[0]].shape[1:3]
+    acc = None
+    count = 0
+
+    def run(x):
+        out = model.apply({"params": params}, x)
+        masks = jax.image.resize(
+            out["pred_masks"], out["pred_masks"].shape[:2] + tuple(base_hw),
+            method="bilinear",
+        )
+        return semantic_inference(out["pred_logits"], masks)
+
+    if model.cfg.backbone_type.startswith("vit"):
+        # the fusion-token ViT is fixed-size (fusion grid == patch grid);
+        # TTA reduces to flipping, like the reference's ViT usage
+        scales = (1.0,)
+
+    views = []
+    for s in scales:
+        hw = (max(32, int(base_hw[0] * s) // 32 * 32),
+              max(32, int(base_hw[1] * s) // 32 * 32))
+        x_s = {
+            k: (jax.image.resize(v, v.shape[:1] + hw + v.shape[3:], method="bilinear")
+                if v.ndim == 4 else v)
+            for k, v in inputs.items()
+        }
+        views.append((x_s, False))
+        if flip:
+            views.append(({k: (v[:, :, ::-1] if v.ndim == 4 else v)
+                           for k, v in x_s.items()}, True))
+    for x_v, flipped in views:
+        sem = run(x_v)
+        if flipped:
+            sem = sem[..., ::-1]
+        acc = sem if acc is None else acc + sem
+        count += 1
+    return acc / count
+
+
 # Land-cover style colormap (role of the reference's Color2Index table,
 # multimodal_quadruplet.py:19-48)
 DEFAULT_COLORS = np.asarray(
@@ -144,6 +194,28 @@ DEFAULT_COLORS = np.asarray(
 def colorize_labels(label_map: np.ndarray, colors: Optional[np.ndarray] = None) -> np.ndarray:
     colors = DEFAULT_COLORS if colors is None else colors
     return colors[np.clip(np.asarray(label_map), 0, len(colors) - 1)]
+
+
+def overlay_instances(
+    image: np.ndarray,  # [H, W, 3] in any range
+    instances: Dict[str, "np.ndarray"],
+    score_threshold: float = 0.5,
+    alpha: float = 0.5,
+    colors: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Blend instance masks over an image (minimal stand-in for the vendored
+    detectron2 Visualizer, utils/visualizer.py)."""
+    colors = DEFAULT_COLORS if colors is None else colors
+    img = np.asarray(image, np.float32)
+    img = (img - img.min()) / max(img.max() - img.min(), 1e-6) * 255.0
+    out = img.copy()
+    keep = np.asarray(instances["scores"]) >= score_threshold
+    masks = np.asarray(instances["pred_masks"])[keep]
+    for i, m in enumerate(masks):
+        color = colors[(i + 1) % len(colors)].astype(np.float32)
+        sel = np.asarray(m) > 0.5
+        out[sel] = (1 - alpha) * out[sel] + alpha * color
+    return out.astype(np.uint8)
 
 
 def save_segmentation_png(label_map: np.ndarray, path: str,

@@ -14,7 +14,7 @@ from flax import linen as nn
 
 from ..ops.patches import conv_patch_embed, unpatchify
 from ..ops.posemb import build_2d_sincos_posemb, resize_posemb
-from .layers import ViTBlock, trunc_normal_init
+from .layers import LayerNorm, Mlp, ViTBlock, trunc_normal_init
 
 
 class PatchedInputAdapter(nn.Module):
@@ -107,6 +107,101 @@ def fusion_posemb(num_fusion_tokens: int, dim: int, image_size: int, patch_size:
     hp = image_size // patch_size
     assert hp * hp == num_fusion_tokens, "fusion tokens must tile the patch grid"
     return build_2d_sincos_posemb(hp, hp, dim)  # [F, dim]
+
+
+class SpatialOutputAdapterFull(nn.Module):
+    """Full MAE-style decoder (reference output_adapters.py:60-282 and its
+    byte-identical output_adapters_fusion.py): mask-token unshuffle via
+    ids_restore, per-task + positional context embeddings, task-query
+    extraction, cross-attention to the visible context, then self-attention
+    layers and un-patchify.
+
+    Static-shape form: the unshuffle is a one-hot matmul over the packed
+    layout and padded packed slots are excluded from the cross-attention
+    with a key mask (the reference's gather simply never includes them).
+    """
+
+    num_channels: int
+    task: str
+    context_tasks: Tuple[str, ...]
+    patch_size: int = 16
+    image_size: int = 256
+    stride_level: int = 1
+    dim_tokens: int = 256
+    depth: int = 2
+    num_heads: int = 8
+    use_task_queries: bool = True
+    use_xattn: bool = True
+
+    @property
+    def p(self) -> int:
+        return max(1, self.patch_size // self.stride_level)
+
+    @nn.compact
+    def __call__(self, encoder_tokens, mask_info, num_encoded_tokens: int):
+        from ..ops.masking import MaskInfo  # noqa: F401 (doc)
+        from .layers import ViTCrossAttention
+
+        b, e_slots, _ = encoder_tokens.shape
+        e = num_encoded_tokens
+        p = self.p
+        n_hw = self.image_size // (self.stride_level * p)
+        f = n_hw * n_hw
+        t = len(self.context_tasks)
+        d = self.dim_tokens
+
+        ctx = nn.Dense(d, kernel_init=nn.initializers.xavier_uniform(),
+                       name="proj_context")(encoder_tokens)  # [B, E, d]
+
+        # unshuffle into the full T*F grid, mask_token at masked positions
+        # (output_adapters.py:190-201) — one-hot matmul form
+        slot = mask_info.ids_restore
+        use = (slot < e) & (slot < mask_info.num_visible[:, None])
+        onehot = ((slot[..., None] == jnp.arange(e, dtype=slot.dtype))
+                  & use[..., None]).astype(ctx.dtype)  # [B, T*F, E]
+        mask_token = self.param("mask_token", nn.initializers.zeros, (1, 1, d))
+        grid = jnp.einsum("bge,bed->bgd", onehot, ctx)
+        grid = grid + jnp.where(use[..., None], 0, mask_token.astype(ctx.dtype))
+
+        # context embeddings: per-task embedding + 2D posemb per section
+        # (output_adapters.py:160-181)
+        pos = build_2d_sincos_posemb(n_hw, n_hw, d)
+        embs = []
+        for tk in self.context_tasks:
+            te = self.param(f"task_emb_{tk}", trunc_normal_init(0.02), (1, 1, d))
+            embs.append(te + pos[None])
+        emb = jnp.concatenate(embs, axis=1).astype(ctx.dtype)  # [1, T*F, d]
+        grid = grid + emb
+
+        # queries: this task's section (output_adapters.py:208-216)
+        ti = self.context_tasks.index(self.task) if self.task in self.context_tasks else 0
+        if self.use_task_queries and self.task in self.context_tasks:
+            queries = grid[:, ti * f : (ti + 1) * f]
+        else:
+            queries = (mask_token + pos[None]).astype(ctx.dtype)
+            queries = jnp.broadcast_to(queries, (b, f, d))
+
+        # visible context = embedded grid gathered back to packed slots
+        # (output_adapters.py:225-227); padded slots masked out of attention
+        context = jnp.einsum("bge,bgd->bed", onehot, grid)
+        key_valid = (jnp.arange(e)[None] < mask_info.num_visible[:, None])
+
+        if self.use_xattn:
+            x = ViTCrossAttention(self.num_heads, qkv_bias=True, name="decoder")(
+                LayerNorm(eps=1e-6, name="query_norm")(queries),
+                LayerNorm(eps=1e-6, name="context_norm")(context),
+                attn_mask=key_valid[:, None, None, :],
+            )
+            x = x + Mlp(int(d * 4), name="mlp")(LayerNorm(eps=1e-6, name="out_norm")(x))
+        else:
+            x = queries
+
+        for i in range(self.depth):
+            x = ViTBlock(num_heads=self.num_heads, qkv_bias=True, norm_eps=1e-6,
+                         name=f"block{i}")(x)
+        x = nn.Dense(self.num_channels * p * p,
+                     kernel_init=nn.initializers.xavier_uniform(), name="out_proj")(x)
+        return unpatchify(x, p, n_hw, n_hw, self.num_channels)
 
 
 class SpatialOutputAdapter(nn.Module):

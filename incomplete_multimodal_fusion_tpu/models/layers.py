@@ -231,13 +231,19 @@ class FusionBlock(nn.Module):
         kv = nn.Dense(inner * 2, use_bias=False, kernel_init=xavier_uniform_fused(2), name="to_kv")(h)
         k, v = jnp.split(kv, 2, axis=-1)  # [B, N, M, inner]
 
-        q = q.reshape(b * n, 1, self.heads, self.dim_head)
-        k = k.reshape(b * n, m, self.heads, self.dim_head)
-        v = v.reshape(b * n, m, self.heads, self.dim_head)
-        mask = None
+        # fusion-row attention over the tiny m axis as VPU mul-reduce:
+        # 1 x m matmuls are MXU-pathological, elementwise ops are not
+        q = q.reshape(b, n, 1, self.heads, self.dim_head)
+        k = k.reshape(b, n, m, self.heads, self.dim_head)
+        v = v.reshape(b, n, m, self.heads, self.dim_head)
+        scale = self.dim_head ** -0.5
+        sim = jnp.sum(
+            (q * scale).astype(jnp.float32) * k.astype(jnp.float32), axis=-1
+        )  # [B, N, M, H]
         if key_valid is not None:  # [B, N, M] bool
-            mask = key_valid.reshape(b * n, 1, 1, m)
-        out = multihead_attention(q, k, v, mask=mask)
+            sim = jnp.where(key_valid[..., None], sim, -0.7 * jnp.finfo(jnp.float32).max)
+        attn = jax.nn.softmax(sim, axis=2)
+        out = jnp.sum(attn[..., None].astype(v.dtype) * v, axis=2)  # [B, N, H, dh]
         out = out.reshape(b, n, inner)
         out = nn.Dense(d, use_bias=False, kernel_init=nn.initializers.xavier_uniform(), name="to_out")(out)
 
@@ -298,7 +304,7 @@ class ViTCrossAttention(nn.Module):
     qkv_bias: bool = False
 
     @nn.compact
-    def __call__(self, x, context):
+    def __call__(self, x, context, attn_mask=None):
         b, n, c = x.shape
         hd = c // self.num_heads
         q = nn.Dense(c, use_bias=self.qkv_bias, kernel_init=nn.initializers.xavier_uniform(), name="q")(x)
@@ -309,6 +315,7 @@ class ViTCrossAttention(nn.Module):
             q.reshape(b, n, self.num_heads, hd),
             k.reshape(b, m, self.num_heads, hd),
             v.reshape(b, m, self.num_heads, hd),
+            mask=attn_mask,
         )
         out = out.reshape(b, n, c)
         return nn.Dense(c, kernel_init=nn.initializers.xavier_uniform(), name="proj")(out)

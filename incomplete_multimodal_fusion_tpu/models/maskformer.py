@@ -90,6 +90,19 @@ class MaskFormerModel(nn.Module):
 
             depth = int(c.backbone_type[len("resnet"):])
             feats = ResNet(depth=depth, name="backbone")(x[c.resnet_input])
+        elif c.backbone_type == "swin":
+            from .swin import SwinTransformer
+
+            feats = SwinTransformer(name="backbone")(x[c.resnet_input])
+        elif c.backbone_type == "vit_adapter":
+            from .vit_adapter import ViTAdapterBaseline
+
+            feats = ViTAdapterBaseline(
+                in_domains=c.in_domains, image_size=c.image_size,
+                patch_size=c.patch_size, dim_tokens=c.dim_tokens,
+                depth=c.depth, dim_head=c.dim_head, heads=c.heads,
+                num_fusion_tokens=c.num_fusion_tokens, name="backbone",
+            )(x, mask_info, e, present=present, deterministic=deterministic)
         else:
             backbone = ViTBaseline(
                 in_domains=c.in_domains,

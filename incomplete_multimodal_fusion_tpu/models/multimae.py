@@ -66,6 +66,10 @@ class MultiMAE(nn.Module):
     decoder_dim: int = 256
     decoder_depth: int = 2
     decoder_num_heads: int = 8
+    # 'simple' = decode the fusion-token grid (output_adapters_simple.py, the
+    # path all reference drivers use); 'full' = MAE-style mask-token decoder
+    # over the visible tokens (output_adapters.py)
+    decoder_style: str = "simple"
 
     @property
     def num_patches(self) -> int:
@@ -102,19 +106,38 @@ class MultiMAE(nn.Module):
             # semseg outputs class logits (dnw: 9, pretrain_mmae_my.py:69-75)
             return spec.num_classes if spec.loss == "cross_entropy" else spec.num_channels
 
-        self.output_adapters = {
-            d: SpatialOutputAdapter(
-                num_channels=out_channels(modreg.get(d)),
-                patch_size=self.patch_size,
-                image_size=self.image_size,
-                stride_level=modreg.get(d).stride_level,
-                dim_tokens=self.decoder_dim,
-                depth=self.decoder_depth,
-                num_heads=self.decoder_num_heads,
-                name=f"output_adapter_{d}",
-            )
-            for d in self.out_domains
-        }
+        if self.decoder_style == "full":
+            from .adapters import SpatialOutputAdapterFull
+
+            self.output_adapters = {
+                d: SpatialOutputAdapterFull(
+                    num_channels=out_channels(modreg.get(d)),
+                    task=d,
+                    context_tasks=tuple(self.in_domains),
+                    patch_size=self.patch_size,
+                    image_size=self.image_size,
+                    stride_level=modreg.get(d).stride_level,
+                    dim_tokens=self.decoder_dim,
+                    depth=self.decoder_depth,
+                    num_heads=self.decoder_num_heads,
+                    name=f"output_adapter_{d}",
+                )
+                for d in self.out_domains
+            }
+        else:
+            self.output_adapters = {
+                d: SpatialOutputAdapter(
+                    num_channels=out_channels(modreg.get(d)),
+                    patch_size=self.patch_size,
+                    image_size=self.image_size,
+                    stride_level=modreg.get(d).stride_level,
+                    dim_tokens=self.decoder_dim,
+                    depth=self.decoder_depth,
+                    num_heads=self.decoder_num_heads,
+                    name=f"output_adapter_{d}",
+                )
+                for d in self.out_domains
+            }
 
         if self.fusion_mode != "sup":
             # assert matches reference multimae_crossattn.py:87
@@ -163,22 +186,31 @@ class MultiMAE(nn.Module):
             self.attn_lstm = AttentionBiLSTM(name="attn_lstm")
         self.norm = BiaslessLayerNorm(name="norm")
 
-    def _fusion_grid(self, tokens, mask_info: MaskInfo, num_encoded_tokens: int):
-        """Rebuild the per-modality fusion grids [B, F, T, D] by inverse
-        gather (reference scatters into mask_embedding copies,
-        multimae_crossattn.py:454-462)."""
+    def _grid_onehot(self, mask_info: MaskInfo, num_encoded_tokens: int, dtype):
+        """One-hot scatter matrix [B, T*F, E] mapping packed slots to grid
+        positions. Built ONCE per forward; the per-layer grid rebuild then
+        becomes a single MXU matmul instead of a TPU-hostile gather (and its
+        backward a matmul instead of a scatter)."""
+        e = num_encoded_tokens
+        slot = mask_info.ids_restore  # [B, T*F]
+        use = (slot < e) & (slot < mask_info.num_visible[:, None])
+        onehot = (slot[..., None] == jnp.arange(e, dtype=slot.dtype)) & use[..., None]
+        return onehot.astype(dtype), use
+
+    def _fusion_grid(self, tokens, onehot, use, num_encoded_tokens: int):
+        """Rebuild the per-modality fusion grids [B, F, T, D]
+        (reference scatters into mask_embedding copies,
+        multimae_crossattn.py:454-462) via the one-hot matmul."""
         b = tokens.shape[0]
         e = num_encoded_tokens
         t = len(self.in_domains)
         f = self.num_fusion_tokens
         packed = tokens[:, :e, :]
-        slot = mask_info.ids_restore  # [B, T*F]: packed slot of each grid pos
-        gathered = jnp.take_along_axis(
-            packed, jnp.clip(slot, 0, e - 1)[..., None], axis=1
-        )  # [B, T*F, D]
-        use = (slot < e) & (slot < mask_info.num_visible[:, None])
+        gathered = jnp.einsum(
+            "bge,bed->bgd", onehot, packed, preferred_element_type=jnp.float32
+        ).astype(tokens.dtype)
         mask_emb = jnp.tile(self.mask_embedding.astype(tokens.dtype), (1, t, 1))
-        grid = jnp.where(use[..., None], gathered, mask_emb)
+        grid = gathered + jnp.where(use[..., None], 0, mask_emb)
         grid = grid.reshape(b, t, f, -1).transpose(0, 2, 1, 3)  # [B, F, T, D]
         return grid
 
@@ -237,9 +269,11 @@ class MultiMAE(nn.Module):
             and pallas_supported(e + f)
         )
 
+        if self.fusion_mode == "crossattn":
+            onehot, use = self._grid_onehot(mask_info, e, dtype)
         for i, blk in enumerate(self.blocks):
             if self.fusion_mode == "crossattn":
-                grid = self._fusion_grid(tokens, mask_info, e)
+                grid = self._fusion_grid(tokens, onehot, use, e)
                 stack = jnp.concatenate([grid, tokens[:, None, e:, :].transpose(0, 2, 1, 3)], axis=2)
                 fusion_new = self.fus_blocks[i](stack)
                 tokens = jnp.concatenate([tokens[:, :e, :], fusion_new], axis=1)
@@ -267,10 +301,16 @@ class MultiMAE(nn.Module):
         ret = ret + self.mlp(self.norm(ret))
 
         encoder_fusion_tokens = tokens[:, e:, :]
-        preds = {
-            d: self.output_adapters[d](encoder_fusion_tokens)
-            for d in self.out_domains
-        }
+        if self.decoder_style == "full":
+            preds = {
+                d: self.output_adapters[d](tokens[:, :e, :], mask_info, e)
+                for d in self.out_domains
+            }
+        else:
+            preds = {
+                d: self.output_adapters[d](encoder_fusion_tokens)
+                for d in self.out_domains
+            }
 
         # contrastive pools over fusion tokens at each modality's visible
         # positions (multimae_crossattn.py:529-543)
@@ -396,4 +436,5 @@ def build_multimae(cfg) -> MultiMAE:
         decoder_dim=cfg.decoder.dim,
         decoder_depth=cfg.decoder.depth,
         decoder_num_heads=cfg.decoder.num_heads,
+        decoder_style=cfg.decoder.style,
     )

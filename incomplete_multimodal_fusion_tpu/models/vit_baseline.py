@@ -189,9 +189,14 @@ class ViTBaseline(nn.Module):
         plane_valid = jnp.concatenate([present, jnp.ones((1,), bool)])  # [T+1]
         key_valid = jnp.broadcast_to(plane_valid[None, None, :], (b, f, t_mod + 1))
 
+        slot = mask_info.ids_restore
+        use = (slot < e) & (slot < mask_info.num_visible[:, None])
+        onehot = ((slot[..., None] == jnp.arange(e, dtype=slot.dtype))
+                  & use[..., None]).astype(dtype)
+
         fusion_outs = []
         for i, blk in enumerate(self.blocks):
-            grid = self._fusion_grid(tokens, mask_info, e)
+            grid = self._fusion_grid(tokens, onehot, use, e)
             stack = jnp.concatenate(
                 [grid, tokens[:, None, e:, :].transpose(0, 2, 1, 3)], axis=2
             )
@@ -227,16 +232,15 @@ class ViTBaseline(nn.Module):
         feat = self.norm(ret).reshape(b, hp, hp, self.dim_tokens)
         return self.pyramid(feat, feat, feat, feat)
 
-    def _fusion_grid(self, tokens, mask_info: MaskInfo, e: int):
+    def _fusion_grid(self, tokens, onehot, use, e: int):
+        """One-hot-matmul grid rebuild (see MultiMAE._grid_onehot)."""
         b = tokens.shape[0]
         t = len(self.in_domains)
         f = self.num_fusion_tokens
         packed = tokens[:, :e, :]
-        slot = mask_info.ids_restore
-        gathered = jnp.take_along_axis(
-            packed, jnp.clip(slot, 0, e - 1)[..., None], axis=1
-        )
-        use = (slot < e) & (slot < mask_info.num_visible[:, None])
+        gathered = jnp.einsum(
+            "bge,bed->bgd", onehot, packed, preferred_element_type=jnp.float32
+        ).astype(tokens.dtype)
         mask_emb = jnp.tile(self.mask_embedding.astype(tokens.dtype), (1, t, 1))
-        grid = jnp.where(use[..., None], gathered, mask_emb)
+        grid = gathered + jnp.where(use[..., None], 0, mask_emb)
         return grid.reshape(b, t, f, -1).transpose(0, 2, 1, 3)

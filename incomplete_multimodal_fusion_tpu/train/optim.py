@@ -62,6 +62,46 @@ def skip_by_grad_norm(inner: optax.GradientTransformation, threshold: float):
     return optax.GradientTransformation(init, update)
 
 
+def get_num_layer_for_vit(path: str, num_layers: int) -> int:
+    """Layer id for layerwise LR decay (optim_factory.py:49-64
+    get_num_layer_for_vit): embeddings/adapters = 0, block i = i+1,
+    everything else (heads, norms, pools) = num_layers."""
+    parts = path.split("/")
+    head = parts[0] if parts else path
+    if head.startswith(("input_adapter", "pos_emb", "fusion_tokens", "mask_embedding")):
+        return 0
+    if head.startswith(("block", "fus_block")):
+        try:
+            return int("".join(c for c in head.split("block")[-1] if c.isdigit())) + 1
+        except ValueError:
+            return num_layers + 1
+    return num_layers + 1  # heads/norms/pools: scale 1.0 (optim_factory.py:95)
+
+
+def layer_decay_scales(params, num_layers: int, decay: float):
+    """LayerDecayValueAssigner (optim_factory.py:66-101): per-leaf LR scale
+    decay**(num_layers+1-layer_id) as a pytree for optax scaling."""
+
+    def f(path, leaf):
+        p = "/".join(str(getattr(k, "key", k)) for k in path)
+        layer = get_num_layer_for_vit(p, num_layers)
+        return decay ** (num_layers + 1 - layer)
+
+    return jax.tree_util.tree_map_with_path(f, params)
+
+
+def scale_by_layer_decay(scales) -> optax.GradientTransformation:
+    """Multiply updates by per-leaf LR scales (param-group lr_scale role)."""
+
+    def init(params):
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        return jax.tree.map(lambda u, s: u * s, updates, scales), state
+
+    return optax.GradientTransformation(init, update)
+
+
 def create_optimizer(
     params,
     lr_schedule,
@@ -71,8 +111,15 @@ def create_optimizer(
     eps: float = 1e-8,
     clip_grad: Optional[float] = None,
     skip_grad: Optional[float] = None,
+    layer_decay: Optional[float] = None,
+    num_layers: int = 12,
 ) -> optax.GradientTransformation:
     mask = wd_mask(params)
+    ld_scales = (
+        layer_decay_scales(params, num_layers, layer_decay)
+        if layer_decay is not None and layer_decay < 1.0
+        else None
+    )
 
     def make(learning_rate, weight_decay):
         chain = []
@@ -88,6 +135,8 @@ def create_optimizer(
                 mask=mask,
             )
         )
+        if ld_scales is not None:
+            chain.append(scale_by_layer_decay(ld_scales))
         return optax.chain(*chain)
 
     tx = optax.inject_hyperparams(make)(learning_rate=lr_schedule, weight_decay=wd_schedule)

@@ -130,3 +130,35 @@ class TestQuadruplet:
         rgb = quad.index_to_color(idx).transpose(2, 0, 1)
         back = quad.color_to_index(rgb)
         np.testing.assert_array_equal(back, idx)
+
+
+class TestADEOdgt:
+    @pytest.fixture()
+    def tree(self, tmp_path):
+        rng = np.random.default_rng(2)
+        os.makedirs(tmp_path / "img"); os.makedirs(tmp_path / "ann")
+        recs = []
+        for i in range(3):
+            np.save(tmp_path / "img" / f"i{i}.npy",
+                    rng.uniform(0, 255, (48, 48, 3)).astype(np.float32))
+            np.save(tmp_path / "ann" / f"i{i}.npy",
+                    rng.integers(0, 10, (48, 48, 1)).astype(np.uint8))
+            recs.append({"fpath_img": f"img/i{i}.npy", "fpath_segm": f"ann/i{i}.npy",
+                         "width": 48, "height": 48})
+        odgt = tmp_path / "training.odgt"
+        odgt.write_text("\n".join(json.dumps(r) for r in recs))
+        return str(tmp_path), str(odgt)
+
+    def test_load_and_batch(self, tree):
+        from incomplete_multimodal_fusion_tpu.data import ade_odgt
+
+        root, odgt = tree
+        ds = ade_odgt.ADEOdgtDataset(odgt, root=root, img_size=32,
+                                     segm_downsampling_rate=4)
+        assert len(ds) == 3
+        s = ds[0]
+        assert s["image"].shape == (32, 32, 3)
+        assert s["label"].shape == (8, 8)
+        it = ade_odgt.ade_batch_iterator(ds, 2, prefetch=1)
+        b = next(it)
+        assert b["image"].shape == (2, 32, 32, 3)
