@@ -22,7 +22,10 @@ import numpy as np
 
 from .dfc2023 import _read_raster
 
+# Sentinel-2 band groups (SEN12MS-style loader, multimodal_dataset.py:76-96)
 S2_BANDS_HR = [2, 3, 4, 8]
+S2_BANDS_MR = [5, 6, 7, 9, 12, 13]
+S2_BANDS_LR = [1, 10, 11]
 S2_MEAN = np.array([1353.3418, 1265.4015, 1269.009, 1976.1317], np.float32)
 S2_STD = np.array([242.07303, 290.84450, 402.9476, 516.77480], np.float32)
 S1_MEAN = np.array([-9.020017, -15.73008], np.float32)
@@ -60,12 +63,30 @@ def _minmax(x: np.ndarray) -> np.ndarray:
     return (x - x.min()) / rng
 
 
-def load_s2(path: str) -> np.ndarray:
+def select_s2_bands(use_hr: bool = True, use_mr: bool = False, use_lr: bool = False):
+    """Sorted band list like the SEN12MS loader (multimodal_dataset.py:82-96)."""
+    bands = []
+    if use_hr:
+        bands += S2_BANDS_HR
+    if use_mr:
+        bands += S2_BANDS_MR
+    if use_lr:
+        bands += S2_BANDS_LR
+    return sorted(bands)
+
+
+def load_s2(path: str, bands: Optional[Sequence[int]] = None) -> np.ndarray:
+    bands = list(bands) if bands is not None else S2_BANDS_HR
     s2 = _read_raster(path)
-    if s2.shape[0] >= max(S2_BANDS_HR):
-        s2 = s2[[b - 1 for b in S2_BANDS_HR]]
+    if s2.shape[0] >= max(bands):
+        s2 = s2[[b - 1 for b in bands]]
     s2 = np.clip(np.nan_to_num(s2), 0, 10000).astype(np.float32)
-    return (s2 - S2_MEAN[:, None, None]) / S2_STD[:, None, None]
+    if len(bands) == len(S2_BANDS_HR) and bands == S2_BANDS_HR:
+        return (s2 - S2_MEAN[:, None, None]) / S2_STD[:, None, None]
+    # per-band standardize when stats are not published for the subset
+    mu = s2.mean(axis=(1, 2), keepdims=True)
+    sd = s2.std(axis=(1, 2), keepdims=True) + 1e-6
+    return (s2 - mu) / sd
 
 
 def load_s1(path: str) -> np.ndarray:

@@ -138,10 +138,81 @@ def _greedy_assign(cost: jnp.ndarray) -> jnp.ndarray:
     return jax.vmap(per_sample)(cost)
 
 
-def hungarian_match(cost: jnp.ndarray, exact: bool = True) -> jnp.ndarray:
-    """cost [B, Q, G] -> matched query index per target column [B, G]."""
-    if not exact:
+def _auction_assign(cost: jnp.ndarray, eps_scale: float = 1e-3,
+                    max_iters: int = 500) -> jnp.ndarray:
+    """Fully on-device Bertsekas auction (Jacobi bidding) per batch element:
+    targets bid for queries; epsilon-optimal (within G*eps of the true
+    optimum), no host callback — usable under multi-chip SPMD without the
+    device-0 gather the scipy path forces."""
+    b, q, g = cost.shape
+
+    def per_sample(c):
+        value = -c.T  # [G, Q] maximize
+        spread = jnp.maximum(jnp.max(value) - jnp.min(value), 1e-6)
+        eps = eps_scale * spread
+
+        def cond(state):
+            it, prices, owner, assigned = state
+            return (it < max_iters) & jnp.any(assigned < 0)
+
+        def body(state):
+            it, prices, owner, assigned = state
+            net = value - prices[None, :]  # [G, Q]
+            best_v, best_q = jax.lax.top_k(net, 2)
+            bid = prices[best_q[:, 0]] + best_v[:, 0] - best_v[:, 1] + eps  # [G]
+            bidding = assigned < 0
+            # winner per query: highest bid among bidders targeting it
+            bid_mat = jnp.where(
+                bidding[:, None] & (best_q[:, 0][:, None] == jnp.arange(q)[None, :]),
+                bid[:, None], -jnp.inf,
+            )  # [G, Q]
+            got_bid = jnp.any(jnp.isfinite(bid_mat), axis=0)
+            winner_g = jnp.argmax(bid_mat, axis=0)
+            winner_bid = jnp.max(bid_mat, axis=0)
+            # unassign previous owners of queries that changed hands
+            prev = owner
+            assigned = jnp.where(
+                jnp.isin(jnp.arange(g), jnp.where(got_bid, prev, -2)), -1, assigned
+            )
+            owner = jnp.where(got_bid, winner_g, owner)
+            prices = jnp.where(got_bid, winner_bid, prices)
+            # assigned[g'] = q for winning (g', q) pairs
+            upd_g = jnp.where(got_bid, winner_g, g)  # index g -> dropped
+            assigned = assigned.at[upd_g].set(
+                jnp.arange(q, dtype=jnp.int32)[: q], mode="drop"
+            )
+            return it + 1, prices, owner, assigned
+
+        init = (0, jnp.zeros((q,)), jnp.full((q,), -1, jnp.int32),
+                jnp.full((g,), -1, jnp.int32))
+        _, _, _, assigned = jax.lax.while_loop(cond, body, init)
+        # safety: fill any unassigned greedily
+        def fill(i, st):
+            c2, a = st
+            unas = a < 0
+            gi = jnp.argmax(unas)
+            free = ~jnp.isin(jnp.arange(q), a)
+            pick = jnp.argmin(jnp.where(free, c2[:, gi], jnp.inf))
+            a = jnp.where(unas[gi], a.at[gi].set(pick.astype(jnp.int32)), a)
+            return c2, a
+
+        _, assigned = jax.lax.fori_loop(0, g, fill, (c, assigned))
+        return assigned
+
+    return jax.vmap(per_sample)(cost.astype(jnp.float32))
+
+
+def hungarian_match(cost: jnp.ndarray, exact: bool = True,
+                    mode: Optional[str] = None) -> jnp.ndarray:
+    """cost [B, Q, G] -> matched query index per target column [B, G].
+
+    mode: 'exact' (scipy via host callback, reference parity),
+    'auction' (on-device epsilon-optimal), 'greedy' (on-device, fast)."""
+    mode = mode or ("exact" if exact else "greedy")
+    if mode == "greedy":
         return _greedy_assign(cost)
+    if mode == "auction":
+        return _auction_assign(cost)
     return jax.pure_callback(
         _scipy_assign,
         jax.ShapeDtypeStruct(cost.shape[:1] + cost.shape[2:], jnp.int32),
@@ -160,6 +231,7 @@ def match_outputs_to_targets(
     cost_mask: float = 1.0,
     cost_dice: float = 1.0,
     exact: bool = True,
+    match_mode: Optional[str] = None,
 ) -> jnp.ndarray:
     """HungarianMatcher.memory_efficient_forward (matcher_ins.py:95-153)."""
     b, q = pred_logits.shape[:2]
@@ -185,7 +257,7 @@ def match_outputs_to_targets(
     cost = cost_class * c_class + cost_mask * c_mask + cost_dice * c_dice
     cost = jnp.where(targets.valid[:, None, :], cost, PAD_COST)
     cost = jax.lax.stop_gradient(cost)
-    return hungarian_match(cost, exact=exact)
+    return hungarian_match(cost, exact=exact, mode=match_mode)
 
 
 # ---------------------------------------------------------------------------
@@ -290,6 +362,7 @@ def set_criterion(
     cost_dice: float = 1.0,
     dense_masks: bool = False,
     exact_match: bool = True,
+    match_mode: Optional[str] = None,  # 'exact' | 'auction' | 'greedy'
 ) -> Dict[str, jnp.ndarray]:
     """Full criterion incl. aux levels (criterion_ins.py:224-278)."""
     num_masks = jnp.maximum(jnp.sum(targets.valid.astype(jnp.float32)), 1.0)
@@ -302,6 +375,7 @@ def set_criterion(
         matched = match_outputs_to_targets(
             out["pred_logits"], out["pred_masks"], targets, k_match,
             num_points, cost_class, cost_mask, cost_dice, exact=exact_match,
+            match_mode=match_mode,
         )
         l = criterion_losses(
             out["pred_logits"], out["pred_masks"], targets, matched, k_pts,

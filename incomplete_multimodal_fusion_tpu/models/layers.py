@@ -254,6 +254,78 @@ class FusionBlock(nn.Module):
         return fus
 
 
+class FusionBlockFast(nn.Module):
+    """Algebraically identical to FusionBlock, restructured for TPU:
+    LayerNorms and the fused KV projection commute with token *selection*,
+    so they run once on the flat sources (packed tokens, the mask-embedding
+    table, fusion tokens) and the per-position stack is assembled as a KV
+    grid via the one-hot MXU matmul — the [B, F, T+1, D] normed stack never
+    materializes. Parameter names/shapes match FusionBlock exactly, so
+    checkpoints interchange (equality is tested).
+    """
+
+    dim_head: int = 64
+    heads: int = 8
+    ff_mult: int = 4
+
+    @nn.compact
+    def __call__(self, packed, fusion, mask_emb, onehot, use, plane_valid=None):
+        """packed [B,E,D]; fusion [B,F,D]; mask_emb [1,F,D];
+        onehot [B,T*F,E]; use [B,T*F] bool; plane_valid [T+1] bool or None."""
+        b, e, d_model = packed.shape
+        f = fusion.shape[1]
+        t = onehot.shape[1] // f
+        h, dh = self.heads, self.dim_head
+        inner = h * dh
+
+        norm1 = BiaslessLayerNorm(name="norm1")
+        attn_norm = BiaslessLayerNorm(name="attn_norm")
+        to_q = nn.Dense(inner, use_bias=False, kernel_init=nn.initializers.xavier_uniform(), name="to_q")
+        to_kv = nn.Dense(inner * 2, use_bias=False, kernel_init=xavier_uniform_fused(2), name="to_kv")
+
+        h_packed = attn_norm(norm1(packed))
+        h_mask = attn_norm(norm1(mask_emb))
+        h_fus = attn_norm(norm1(fusion))
+
+        q = to_q(h_fus).reshape(b, f, h, dh)
+        kv_p = to_kv(h_packed)  # [B, E, 2i]
+        kv_m = to_kv(h_mask)  # [1, F, 2i]
+        kv_f = to_kv(h_fus)  # [B, F, 2i]
+
+        kv_grid = jnp.einsum(
+            "bge,bec->bgc", onehot, kv_p, preferred_element_type=jnp.float32
+        ).astype(packed.dtype)
+        kv_grid = kv_grid + jnp.where(
+            use[..., None], 0, jnp.tile(kv_m, (1, t, 1))
+        )  # [B, T*F, 2i]
+        k_g, v_g = jnp.split(kv_grid.reshape(b, t, f, 2 * inner), 2, axis=-1)
+        k_g = k_g.reshape(b, t, f, h, dh).transpose(0, 2, 1, 3, 4)  # [B,F,T,h,dh]
+        v_g = v_g.reshape(b, t, f, h, dh).transpose(0, 2, 1, 3, 4)
+        k_f, v_f = jnp.split(kv_f.reshape(b, f, 2, h, dh), 2, axis=2)
+        k = jnp.concatenate([k_g, k_f], axis=2)  # [B, F, T+1, h, dh]
+        v = jnp.concatenate([v_g, v_f], axis=2)
+
+        scale = dh ** -0.5
+        sim = jnp.sum(
+            (q[:, :, None] * scale).astype(jnp.float32) * k.astype(jnp.float32),
+            axis=-1,
+        )  # [B, F, T+1, h]
+        if plane_valid is not None:
+            sim = jnp.where(plane_valid[None, None, :, None], sim,
+                            -0.7 * jnp.finfo(jnp.float32).max)
+        attn = jax.nn.softmax(sim, axis=2)
+        out = jnp.sum(attn[..., None].astype(v.dtype) * v, axis=2)  # [B,F,h,dh]
+        out = out.reshape(b, f, inner)
+        out = nn.Dense(d_model, use_bias=False,
+                       kernel_init=nn.initializers.xavier_uniform(), name="to_out")(out)
+
+        fus = fusion + out
+        fus = fus + GEGLUFeedForward(mult=self.ff_mult, name="mlp")(
+            BiaslessLayerNorm(name="norm2")(fus)
+        )
+        return fus
+
+
 class ViTSelfAttention(nn.Module):
     """Fused-QKV self-attention (multimae_utils.py:158-182), used by the
     reconstruction decoder transformer."""

@@ -42,6 +42,7 @@ from .layers import (
     BiaslessLayerNorm,
     EncoderBlock,
     FusionBlock,
+    FusionBlockFast,
     Mlp,
     ZorroAttention,
     trunc_normal_init,
@@ -175,7 +176,7 @@ class MultiMAE(nn.Module):
         ]
         if self.fusion_mode == "crossattn":
             self.fus_blocks = [
-                FusionBlock(
+                FusionBlockFast(
                     dim_head=self.dim_head, heads=self.heads, ff_mult=self.ff_mult, name=f"fus_block{i}"
                 )
                 for i in range(self.depth)
@@ -271,11 +272,12 @@ class MultiMAE(nn.Module):
 
         if self.fusion_mode == "crossattn":
             onehot, use = self._grid_onehot(mask_info, e, dtype)
+            mask_emb = self.mask_embedding.astype(dtype)
         for i, blk in enumerate(self.blocks):
             if self.fusion_mode == "crossattn":
-                grid = self._fusion_grid(tokens, onehot, use, e)
-                stack = jnp.concatenate([grid, tokens[:, None, e:, :].transpose(0, 2, 1, 3)], axis=2)
-                fusion_new = self.fus_blocks[i](stack)
+                fusion_new = self.fus_blocks[i](
+                    tokens[:, :e, :], tokens[:, e:, :], mask_emb, onehot, use
+                )
                 tokens = jnp.concatenate([tokens[:, :e, :], fusion_new], axis=1)
             tokens = blk(
                 tokens,

@@ -31,7 +31,7 @@ from ..ops.masking import MaskInfo
 from ..ops.pallas_attn import PAD_TYPE, pallas_supported
 from ..ops.posemb import build_2d_sincos_posemb
 from .adapters import PatchedInputAdapter, SemSegInputAdapter
-from .layers import BiaslessLayerNorm, EncoderBlock, FusionBlock, trunc_normal_init
+from .layers import BiaslessLayerNorm, EncoderBlock, FusionBlock, FusionBlockFast, trunc_normal_init
 
 
 class FeaturePyramid(nn.Module):
@@ -123,8 +123,8 @@ class ViTBaseline(nn.Module):
                 (1, self.num_fusion_tokens, self.dim_tokens),
             )
             self.fus_blocks = [
-                FusionBlock(dim_head=self.dim_head, heads=self.heads,
-                            ff_mult=self.ff_mult, name=f"fus_block{i}")
+                FusionBlockFast(dim_head=self.dim_head, heads=self.heads,
+                                ff_mult=self.ff_mult, name=f"fus_block{i}")
                 for i in range(self.depth)
             ]
         else:  # 'sup' (multimae_sup.py:78-85)
@@ -187,20 +187,19 @@ class ViTBaseline(nn.Module):
         # fusion-stack plane validity: absent modality planes are excluded
         # (reference drops them from the stack entirely, :645-655)
         plane_valid = jnp.concatenate([present, jnp.ones((1,), bool)])  # [T+1]
-        key_valid = jnp.broadcast_to(plane_valid[None, None, :], (b, f, t_mod + 1))
 
         slot = mask_info.ids_restore
         use = (slot < e) & (slot < mask_info.num_visible[:, None])
         onehot = ((slot[..., None] == jnp.arange(e, dtype=slot.dtype))
                   & use[..., None]).astype(dtype)
 
+        mask_emb = self.mask_embedding.astype(dtype)
         fusion_outs = []
         for i, blk in enumerate(self.blocks):
-            grid = self._fusion_grid(tokens, onehot, use, e)
-            stack = jnp.concatenate(
-                [grid, tokens[:, None, e:, :].transpose(0, 2, 1, 3)], axis=2
+            fusion_new = self.fus_blocks[i](
+                tokens[:, :e, :], tokens[:, e:, :], mask_emb, onehot, use,
+                plane_valid=plane_valid,
             )
-            fusion_new = self.fus_blocks[i](stack, key_valid=key_valid)
             tokens = jnp.concatenate([tokens[:, :e, :], fusion_new], axis=1)
             tokens = blk(
                 tokens, packed_types=types_padded, fusion_type=self.fusion_type,

@@ -161,6 +161,7 @@ def make_downstream_train_step(
     eos_coef: float = 0.1,
     dense_masks: bool = False,
     compute_dtype: str = "bfloat16",
+    match_mode: Optional[str] = None,  # 'exact' | 'auction' | 'greedy'
 ):
     w_ce, w_dice, w_mask = loss_weights
     dtype = jnp.dtype(compute_dtype)
@@ -183,6 +184,7 @@ def make_downstream_train_step(
         losses = set_criterion(
             out, targets, keys[1], num_classes=cfg.num_classes,
             eos_coef=eos_coef, num_points=num_points, dense_masks=dense_masks,
+            match_mode=match_mode,
         )
         l_ce = sum(v for k, v in losses.items() if "ce" in k)
         l_dice = sum(v for k, v in losses.items() if "dice" in k)

@@ -36,6 +36,14 @@ def get_args():
     p.add_argument("--input_size", type=int, default=256)
     p.add_argument("--frozen_stages", type=int, default=11)
     p.add_argument("--model_size", choices=["tiny", "base", "large"], default="tiny")
+    p.add_argument("--backbone", default="vit",
+                   choices=["vit", "vit_adapter", "swin", "resnet18", "resnet34",
+                            "resnet50", "resnet101", "resnet152"])
+    p.add_argument("--fusion_mode", default="crossattn", choices=["crossattn", "sup"])
+    p.add_argument("--match_mode", default="exact",
+                   choices=["exact", "auction", "greedy"],
+                   help="Hungarian matching: exact scipy callback, on-device "
+                        "epsilon-optimal auction, or greedy")
     p.add_argument("--pretrained", default="", help="pretraining checkpoint dir")
     p.add_argument("--coco_root", default="")
     p.add_argument("--coco_json", default="")
@@ -98,6 +106,7 @@ def main():
         num_fusion_tokens=n_grid,
         num_queries=args.num_queries, dec_layers=args.dec_layers,
         frozen_stages=args.frozen_stages,
+        backbone_type=args.backbone, fusion_mode=args.fusion_mode,
     )
     model = MaskFormerModel(cfg)
     rng = np.random.default_rng(args.seed)
@@ -178,6 +187,7 @@ def main():
         ds.make_downstream_train_step(
             model, cfg, tx, num_points=args.num_points,
             dense_masks=dense_masks, compute_dtype=args.compute_dtype,
+            match_mode=args.match_mode,
         ),
         donate_argnums=0,
     )

@@ -228,3 +228,37 @@ class TestFusionBlockEquivalence:
         out_ours = ours.apply({"params": p_ours}, stack)
         out_ref = ref.apply({"params": p_ref}, stack)
         np.testing.assert_allclose(np.asarray(out_ours), np.asarray(out_ref), atol=1e-5)
+
+
+class TestFusionBlockFastEquivalence:
+    def test_fast_equals_reference_block(self):
+        """FusionBlockFast (flat-source norms + one-hot KV assembly) must
+        match FusionBlock exactly given the same params and inputs."""
+        from incomplete_multimodal_fusion_tpu.models.layers import (
+            FusionBlock, FusionBlockFast,
+        )
+
+        rng = np.random.default_rng(0)
+        b, e, f, t, d = 2, 10, 6, 2, 16
+        packed = jnp.asarray(rng.standard_normal((b, e, d)), jnp.float32)
+        fusion = jnp.asarray(rng.standard_normal((b, f, d)), jnp.float32)
+        mask_emb = jnp.asarray(rng.standard_normal((1, f, d)), jnp.float32)
+        # random permutation-style slot map: grid position g <- packed slot
+        slot = np.stack([rng.permutation(t * f) for _ in range(b)])
+        use = slot < e
+        onehot = ((slot[..., None] == np.arange(e)) & use[..., None]).astype(np.float32)
+
+        fast = FusionBlockFast(dim_head=8, heads=2, ff_mult=2)
+        params = fast.init(jax.random.PRNGKey(0), packed, fusion, mask_emb,
+                           jnp.asarray(onehot), jnp.asarray(use))["params"]
+        out_fast = fast.apply({"params": params}, packed, fusion, mask_emb,
+                              jnp.asarray(onehot), jnp.asarray(use))
+
+        # build the explicit stack the reference block consumes
+        gathered = np.einsum("bge,bed->bgd", onehot, np.asarray(packed))
+        grid = gathered + np.where(use[..., None], 0, np.tile(np.asarray(mask_emb), (1, t, 1)))
+        grid = grid.reshape(b, t, f, d).transpose(0, 2, 1, 3)  # [B, F, T, D]
+        stack = np.concatenate([grid, np.asarray(fusion)[:, :, None, :]], axis=2)
+        ref = FusionBlock(dim_head=8, heads=2, ff_mult=2)
+        out_ref = ref.apply({"params": params}, jnp.asarray(stack))
+        np.testing.assert_allclose(np.asarray(out_fast), np.asarray(out_ref), atol=2e-5)

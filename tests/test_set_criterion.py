@@ -165,3 +165,28 @@ class TestCriterion:
             num_points=32, dense_masks=True,
         )
         assert np.isfinite(float(losses["loss_mask"]))
+
+
+class TestAuctionMatcher:
+    def test_auction_matches_scipy_cost(self):
+        """On-device auction is epsilon-optimal: total assignment cost within
+        1% of the exact scipy optimum (often identical)."""
+        from scipy.optimize import linear_sum_assignment
+
+        rng = np.random.default_rng(7)
+        cost = rng.random((4, 20, 12)).astype(np.float32)
+        got = np.asarray(sc.hungarian_match(jnp.asarray(cost), mode="auction"))
+        for b in range(4):
+            # valid permutation
+            assert len(set(got[b].tolist())) == 12
+            row, col = linear_sum_assignment(cost[b])
+            opt = cost[b][row, col].sum()
+            ours = cost[b][got[b], np.arange(12)].sum()
+            assert ours <= opt * 1.01 + 1e-4, (ours, opt)
+
+    def test_auction_under_jit(self):
+        rng = np.random.default_rng(8)
+        cost = jnp.asarray(rng.random((2, 10, 6)), jnp.float32)
+        f = jax.jit(lambda c: sc.hungarian_match(c, mode="auction"))
+        out = f(cost)
+        assert out.shape == (2, 6)
