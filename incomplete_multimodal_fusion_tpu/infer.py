@@ -52,6 +52,11 @@ def infer(
             for d in domains
         }
     if task_masks is not None:
+        # pack at FULL capacity: with caller-supplied masks the visible count
+        # can exceed num_encoded_tokens (e.g. dropping 1 of 3 modalities
+        # leaves 512 visible tokens); the reference encodes all of them
+        # (multimae_crossattn.py:399). Padding slots handle the rest.
+        num_encoded_tokens = n * len(domains)
         mi = masking.mask_info_from_task_masks(task_masks, domains, num_encoded_tokens)
     else:
         rng = rng if rng is not None else jax.random.PRNGKey(1)  # infer_mmae.py:330 seed(1)

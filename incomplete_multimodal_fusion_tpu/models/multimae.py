@@ -198,22 +198,6 @@ class MultiMAE(nn.Module):
         onehot = (slot[..., None] == jnp.arange(e, dtype=slot.dtype)) & use[..., None]
         return onehot.astype(dtype), use
 
-    def _fusion_grid(self, tokens, onehot, use, num_encoded_tokens: int):
-        """Rebuild the per-modality fusion grids [B, F, T, D]
-        (reference scatters into mask_embedding copies,
-        multimae_crossattn.py:454-462) via the one-hot matmul."""
-        b = tokens.shape[0]
-        e = num_encoded_tokens
-        t = len(self.in_domains)
-        f = self.num_fusion_tokens
-        packed = tokens[:, :e, :]
-        gathered = jnp.einsum(
-            "bge,bed->bgd", onehot, packed, preferred_element_type=jnp.float32
-        ).astype(tokens.dtype)
-        mask_emb = jnp.tile(self.mask_embedding.astype(tokens.dtype), (1, t, 1))
-        grid = gathered + jnp.where(use[..., None], 0, mask_emb)
-        grid = grid.reshape(b, t, f, -1).transpose(0, 2, 1, 3)  # [B, F, T, D]
-        return grid
 
     def __call__(
         self,
@@ -229,6 +213,12 @@ class MultiMAE(nn.Module):
         fine) — their tokens are computed but fully masked out; this is what
         keeps the program shape-static under arbitrary dropout.
         """
+        if self.fusion_mode == "sup":
+            raise NotImplementedError(
+                "fusion_mode='sup' is a downstream backbone variant "
+                "(multimae_sup.py has no pretraining driver) — use "
+                "ViTBaseline/MaskFormerConfig(fusion_mode='sup') instead"
+            )
         e = num_encoded_tokens
         f = self.num_fusion_tokens
         b = x[self.in_domains[0]].shape[0]

@@ -31,7 +31,7 @@ from ..ops.masking import MaskInfo
 from ..ops.pallas_attn import PAD_TYPE, pallas_supported
 from ..ops.posemb import build_2d_sincos_posemb
 from .adapters import PatchedInputAdapter, SemSegInputAdapter
-from .layers import BiaslessLayerNorm, EncoderBlock, FusionBlock, FusionBlockFast, trunc_normal_init
+from .layers import BiaslessLayerNorm, EncoderBlock, FusionBlockFast, trunc_normal_init
 
 
 class FeaturePyramid(nn.Module):
@@ -231,15 +231,3 @@ class ViTBaseline(nn.Module):
         feat = self.norm(ret).reshape(b, hp, hp, self.dim_tokens)
         return self.pyramid(feat, feat, feat, feat)
 
-    def _fusion_grid(self, tokens, onehot, use, e: int):
-        """One-hot-matmul grid rebuild (see MultiMAE._grid_onehot)."""
-        b = tokens.shape[0]
-        t = len(self.in_domains)
-        f = self.num_fusion_tokens
-        packed = tokens[:, :e, :]
-        gathered = jnp.einsum(
-            "bge,bed->bgd", onehot, packed, preferred_element_type=jnp.float32
-        ).astype(tokens.dtype)
-        mask_emb = jnp.tile(self.mask_embedding.astype(tokens.dtype), (1, t, 1))
-        grid = gathered + jnp.where(use[..., None], 0, mask_emb)
-        return grid.reshape(b, t, f, -1).transpose(0, 2, 1, 3)

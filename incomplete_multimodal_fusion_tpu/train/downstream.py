@@ -47,11 +47,13 @@ def freeze_mask(params, frozen_stages: int):
 
     def trainable(path, leaf):
         p = "/".join(str(getattr(k, "key", k)) for k in path)
-        if any(p.startswith(f) for f in FROZEN_PREFIXES_BACKBONE):
+        # the vit_adapter backbone nests the encoder one level deeper
+        p_norm = p.replace("backbone/vit/", "backbone/", 1)
+        if any(p_norm.startswith(f) for f in FROZEN_PREFIXES_BACKBONE):
             return False
-        if p.startswith("backbone/block"):
+        if p_norm.startswith("backbone/block"):
             try:
-                idx = int(p.split("/")[1][len("block"):])
+                idx = int(p_norm.split("/")[1][len("block"):])
             except ValueError:
                 return True
             if 1 <= idx <= frozen_stages:
@@ -162,6 +164,13 @@ def make_downstream_train_step(
     dense_masks: bool = False,
     compute_dtype: str = "bfloat16",
     match_mode: Optional[str] = None,  # 'exact' | 'auction' | 'greedy'
+    # per-loss weight_dict + matching costs (maskformer_ake150.yaml:
+    # CLASS_WEIGHT 2.0, MASK_WEIGHT 5.0, DICE_WEIGHT 5.0; the reference
+    # multiplies these into the losses AND uses them as Hungarian costs,
+    # maskformer_train_ins_vit.py:123-131, :215-228)
+    class_weight: float = 2.0,
+    dice_weight: float = 5.0,
+    mask_weight: float = 5.0,
 ):
     w_ce, w_dice, w_mask = loss_weights
     dtype = jnp.dtype(compute_dtype)
@@ -185,10 +194,16 @@ def make_downstream_train_step(
             out, targets, keys[1], num_classes=cfg.num_classes,
             eos_coef=eos_coef, num_points=num_points, dense_masks=dense_masks,
             match_mode=match_mode,
+            cost_class=class_weight, cost_mask=mask_weight, cost_dice=dice_weight,
         )
-        l_ce = sum(v for k, v in losses.items() if "ce" in k)
-        l_dice = sum(v for k, v in losses.items() if "dice" in k)
-        l_mask = sum(v for k, v in losses.items() if k.startswith("loss_mask"))
+        # partition by exact key prefix ('loss_ce' vs 'loss_dice' vs
+        # 'loss_mask' + aux suffixes) — substring tests double-count
+        l_ce = class_weight * sum(
+            v for k, v in losses.items() if k.startswith("loss_ce"))
+        l_dice = dice_weight * sum(
+            v for k, v in losses.items() if k.startswith("loss_dice"))
+        l_mask = mask_weight * sum(
+            v for k, v in losses.items() if k.startswith("loss_mask"))
         total = w_ce * l_ce + w_dice * l_dice + w_mask * l_mask  # (:228)
         return total, {"loss": total, "loss_ce": l_ce, "loss_dice": l_dice,
                        "loss_mask": l_mask}
@@ -209,6 +224,16 @@ def make_downstream_train_step(
                              opt_state=opt_state, rng=rng), metrics
 
     return train_step
+
+
+def label_map_from_targets(targets: SegTargets) -> jnp.ndarray:
+    """[B, H, W] label map from padded instance targets: pixel gets the label
+    of the covering mask + 1 (0 = background); later instances win overlaps —
+    the role of the reference eval's GT union (maskformer_train_ins_vit.py:279)."""
+    b, g, h, w = targets.masks.shape
+    labels = jnp.where(targets.valid, targets.labels + 1, 0)  # [B, G]
+    per_inst = targets.masks * labels[:, :, None, None]
+    return jnp.max(per_inst, axis=1).astype(jnp.int32)
 
 
 def make_eval_step(model: MaskFormerModel, cfg: MaskFormerConfig):

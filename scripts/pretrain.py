@@ -30,7 +30,7 @@ def get_args():
     p.add_argument("--out_domains", type=str, default=None)
     p.add_argument("--model_size", type=str, default="tiny", choices=["tiny", "base", "large"])
     p.add_argument("--fusion_mode", type=str, default=None,
-                   choices=["crossattn", "zorro", "lstm", "sup"])
+                   choices=["crossattn", "zorro", "lstm"])
     p.add_argument("--use_ema", action="store_true", default=None,
                    help="maintain a decay-0.9999 model EMA shadow")
     p.add_argument("--num_encoded_tokens", type=int, default=None)
@@ -121,9 +121,9 @@ def main():
     from incomplete_multimodal_fusion_tpu.utils import checkpoint as ckpt_lib
     from incomplete_multimodal_fusion_tpu.utils.logging import MetricLogger
 
-    import math
-
-    n_dev = math.gcd(cfg.data.batch_size * jax.device_count(), jax.device_count())
+    # per-replica batch: the global batch is batch_size * n_dev, always
+    # divisible by the mesh size
+    n_dev = jax.device_count()
     mesh = mesh_lib.make_mesh((n_dev,), ("data",), devices=jax.devices()[:n_dev])
     global_batch = cfg.data.batch_size * n_dev
     steps_per_epoch = args.steps_per_epoch

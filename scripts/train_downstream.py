@@ -193,7 +193,7 @@ def main():
     )
     eval_fn = jax.jit(ds.make_eval_step(model, cfg))
 
-    sched = ds.ReduceLROnPlateau(lr=args.lr)
+    sched = ds.ReduceLROnPlateau(lr=args.lr, mode="max")  # maximize dice
     os.makedirs(args.output_dir, exist_ok=True)
     t0 = time.time()
     for epoch in range(args.epochs):
@@ -210,6 +210,18 @@ def main():
         line = " ".join(f"{k}={np.mean(v):.4f}" for k, v in agg.items())
         print(f"epoch {epoch}: {line} lr={sched.lr:.2e} "
               f"({time.time()-t0:.0f}s)", flush=True)
+        # dice eval every eval_freq epochs + ReduceLROnPlateau
+        # (maskformer_train_ins_vit.py:163-183)
+        if (epoch + 1) % args.eval_freq == 0:
+            eval_batch, eval_targets = next(data_iter)
+            eval_batch = {k: jnp.asarray(v) for k, v in eval_batch.items()}
+            gt = ds.label_map_from_targets(jax.tree.map(jnp.asarray, eval_targets))
+            dice = float(eval_fn(state.params, eval_batch, gt))
+            new_lr = sched.step(dice)
+            state = state.replace(
+                opt_state=ds.set_learning_rate(state.opt_state, new_lr)
+            )
+            print(f"  eval dice={dice:.4f} lr -> {new_lr:.2e}", flush=True)
         if (epoch + 1) % args.save_freq == 0 or epoch + 1 == args.epochs:
             ckpt_lib.save_checkpoint(args.output_dir, epoch + 1, state)
     print("done")
