@@ -132,16 +132,29 @@ def plot_reconstructions(
         gt = np.asarray(x[d][0])
         pred = np.asarray(result.preds[d][0])
         mask = np.asarray(result.task_masks[d][:1])
-        masked = np.asarray(masked_input(jnp.asarray(x[d][:1]), jnp.asarray(mask), patch_size))[0]
+        if gt.ndim == 2:  # semseg modality (e.g. dnw): int class map
+            pred = np.argmax(pred, axis=-1).astype(np.float32)[..., None]
+            gt = gt.astype(np.float32)[..., None]
+            masked = np.asarray(
+                masked_input(jnp.asarray(gt)[None], jnp.asarray(mask), patch_size)
+            )[0]
+        else:
+            masked = np.asarray(
+                masked_input(jnp.asarray(x[d][:1]), jnp.asarray(mask), patch_size)
+            )[0]
         for j, (img, title) in enumerate(
             [(masked, f"{d} masked"), (pred, f"{d} pred"), (gt, f"{d} gt")]
         ):
             img = denormalize(img, d)
-            if img.shape[-1] == 1:
-                axes[i, j].imshow(img[..., 0], cmap="viridis")
-            else:
+            if img.shape[-1] == 3:
                 lo, hi = img.min(), img.max()
                 axes[i, j].imshow((img - lo) / max(hi - lo, 1e-6))
+            elif img.shape[-1] == 4:  # e.g. S2 HR bands: render first 3
+                rgb = img[..., :3]
+                lo, hi = rgb.min(), rgb.max()
+                axes[i, j].imshow((rgb - lo) / max(hi - lo, 1e-6))
+            else:  # 1, 2 or >4 channels: render channel 0 with a colormap
+                axes[i, j].imshow(img[..., 0], cmap="viridis")
             axes[i, j].set_title(title)
             axes[i, j].axis("off")
     fig.tight_layout()

@@ -44,7 +44,23 @@ def restore_params(directory: str, params_template: Any, step: Optional[int] = N
         return params_template
     path = os.path.join(directory, f"checkpoint-{step}")
     with ocp.PyTreeCheckpointer() as ckptr:
-        raw = ckptr.restore(path)
+        try:
+            raw = ckptr.restore(path)
+        except ValueError:
+            # checkpoint saved under a different device topology: restore as
+            # host numpy arrays instead of sharded jax.Arrays
+            meta = ckptr.metadata(path)
+            tree = getattr(getattr(meta, "item_metadata", meta), "tree", meta)
+            import numpy as np
+
+            def to_args(node):
+                if isinstance(node, dict):
+                    return {k: to_args(v) for k, v in node.items()}
+                if isinstance(node, (list, tuple)):
+                    return [to_args(v) for v in node]
+                return ocp.RestoreArgs(restore_type=np.ndarray)
+
+            raw = ckptr.restore(path, restore_args=to_args(tree))
     source = raw.get("params", raw) if isinstance(raw, dict) else raw
     import flax
 

@@ -88,9 +88,14 @@ def main():
         if int(np.asarray(m).sum()) == 0:
             print(f"{d}: fully visible (no reconstruction target)")
             continue
-        p = float(infer_lib.masked_psnr(res.preds[d], x[d], m, 16))
-        print(f"{d}: masked-patch PSNR {p:.2f} dB "
-              f"({int(np.asarray(m)[0].sum())}/{m.shape[1]} patches masked)")
+        n_masked = f"({int(np.asarray(m)[0].sum())}/{m.shape[1]} patches masked)"
+        if np.asarray(x[d]).ndim == 3:  # semseg modality: report pixel accuracy
+            pred_cls = np.argmax(np.asarray(res.preds[d]), axis=-1)
+            acc = float((pred_cls == np.asarray(x[d])).mean())
+            print(f"{d}: class-map pixel accuracy {acc:.3f} {n_masked}")
+        else:
+            p = float(infer_lib.masked_psnr(res.preds[d], x[d], m, 16))
+            print(f"{d}: masked-patch PSNR {p:.2f} dB {n_masked}")
     out = infer_lib.plot_reconstructions(
         {k: np.asarray(v) for k, v in x.items()}, res, 16, args.output
     )
