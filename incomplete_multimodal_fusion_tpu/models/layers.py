@@ -134,7 +134,9 @@ class ZorroAttention(nn.Module):
     def __call__(self, x, context=None, attn_mask=None, packed_types=None,
                  fusion_type=None, use_pallas=False):
         from ..ops.attention import zorro_mask_from_padded_types
-        from ..ops.pallas_attn import PAD_TYPE, zorro_self_attention
+        from ..ops.pallas_attn import (
+            PAD_TYPE, zorro_self_attention, zorro_self_attention_auto,
+        )
 
         inner = self.dim_head * self.heads
         x = BiaslessLayerNorm(name="norm")(x)
@@ -147,7 +149,11 @@ class ZorroAttention(nn.Module):
             return t.reshape(*t.shape[:-1], self.heads, self.dim_head)
 
         if packed_types is not None and context is None and use_pallas:
-            out = zorro_self_attention(
+            # use_pallas: True = force the kernel; "auto" = resolved per
+            # lowering platform (Pallas on TPU, XLA mask elsewhere)
+            fn = (zorro_self_attention_auto if use_pallas == "auto"
+                  else zorro_self_attention)
+            out = fn(
                 heads_split(q), heads_split(k), heads_split(v),
                 packed_types, fusion_type,
             )

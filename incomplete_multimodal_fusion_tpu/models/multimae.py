@@ -34,7 +34,7 @@ from ..ops.attention import (
     packed_valid,
     zorro_mask_from_types,
 )
-from ..ops.pallas_attn import PAD_TYPE, pallas_supported
+from ..ops.pallas_attn import PAD_TYPE, resolve_attn_mode
 from ..ops.masking import MaskInfo
 from ..ops.posemb import build_2d_sincos_posemb
 from .adapters import PatchedInputAdapter, SemSegInputAdapter, SpatialOutputAdapter
@@ -254,11 +254,7 @@ class MultiMAE(nn.Module):
         # PAD-coded types drive both the Pallas kernel (mask recomputed
         # in-VMEM) and the XLA fallback mask
         types_padded = jnp.where(valid, types, PAD_TYPE)
-        use_pallas = self.attn_impl == "pallas" or (
-            self.attn_impl == "auto"
-            and jax.default_backend() == "tpu"
-            and pallas_supported(e + f)
-        )
+        use_pallas = resolve_attn_mode(self.attn_impl, e + f)
 
         if self.fusion_mode == "crossattn":
             onehot, use = self._grid_onehot(mask_info, e, dtype)
@@ -351,10 +347,7 @@ def _multimae_forward_lstm(self, packed, fusion_full, mask_info, e, deterministi
     types = jnp.concatenate([mod_types, fus_types], axis=1)
     valid = jnp.concatenate([slot_valid, slot_valid], axis=1)
     types_padded = jnp.where(valid, types, PAD_TYPE)
-    use_pallas = self.attn_impl == "pallas" or (
-        self.attn_impl == "auto" and jax.default_backend() == "tpu"
-        and pallas_supported(2 * e)
-    )
+    use_pallas = resolve_attn_mode(self.attn_impl, 2 * e)
 
     for blk in self.blocks:
         tokens = blk(tokens, packed_types=types_padded, fusion_type=self.fusion_type,

@@ -28,7 +28,7 @@ from flax import linen as nn
 from .. import modalities as modreg
 from ..ops.attention import packed_token_types, packed_valid
 from ..ops.masking import MaskInfo
-from ..ops.pallas_attn import PAD_TYPE, pallas_supported
+from ..ops.pallas_attn import PAD_TYPE, resolve_attn_mode
 from ..ops.posemb import build_2d_sincos_posemb
 from .adapters import PatchedInputAdapter, SemSegInputAdapter
 from .layers import BiaslessLayerNorm, EncoderBlock, FusionBlockFast, trunc_normal_init
@@ -179,11 +179,7 @@ class ViTBaseline(nn.Module):
         types = packed_token_types(mask_info.order, nums, e, f, self.fusion_type)
         valid = packed_valid(mask_info.num_visible, e, f)
         types_padded = jnp.where(valid, types, PAD_TYPE)
-        use_pallas = self.attn_impl == "pallas" or (
-            self.attn_impl == "auto"
-            and jax.default_backend() == "tpu"
-            and pallas_supported(e + f)
-        )
+        use_pallas = resolve_attn_mode(self.attn_impl, e + f)
         # fusion-stack plane validity: absent modality planes are excluded
         # (reference drops them from the stack entirely, :645-655)
         plane_valid = jnp.concatenate([present, jnp.ones((1,), bool)])  # [T+1]

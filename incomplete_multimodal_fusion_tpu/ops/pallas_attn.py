@@ -159,3 +159,48 @@ def zorro_self_attention(
 
 def pallas_supported(n: int) -> bool:
     return n <= MAX_PALLAS_TOKENS
+
+
+def zorro_self_attention_auto(
+    q: jnp.ndarray,  # [B, N, H, dh]
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    types: jnp.ndarray,  # [B, N] int32; invalid slots must carry PAD_TYPE
+    fusion_type: int,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Platform-resolved zorro attention: the fused Pallas kernel when the
+    computation is *lowered for TPU*, the XLA masked-SDPA fallback elsewhere.
+
+    ``jax.lax.platform_dependent`` picks the branch per lowering platform, so
+    this is safe even when a TPU-default-backend process compiles for CPU
+    devices (the driver's virtual-CPU multichip dryrun) — gating on
+    ``jax.default_backend()`` was not (it emitted a compiled Pallas call onto
+    the CPU backend, which only supports interpret mode).
+    """
+    from .attention import multihead_attention, zorro_mask_from_padded_types
+
+    def tpu_path(q, k, v, types):
+        return zorro_self_attention(q, k, v, types, fusion_type, scale)
+
+    def xla_path(q, k, v, types):
+        mask = zorro_mask_from_padded_types(types, fusion_type, PAD_TYPE)[:, None]
+        return multihead_attention(q, k, v, mask=mask, scale=scale)
+
+    return jax.lax.platform_dependent(
+        q, k, v, types, tpu=tpu_path, default=xla_path
+    )
+
+
+def resolve_attn_mode(attn_impl: str, n: int):
+    """Map a config ``attn_impl`` to the block-level attention mode.
+
+    Returns True ('pallas' forced), False (XLA fallback), or the string
+    "auto" — resolved to Pallas-on-TPU / XLA-elsewhere at lowering time via
+    ``zorro_self_attention_auto``.
+    """
+    if attn_impl == "pallas":
+        return True
+    if attn_impl == "auto" and pallas_supported(n):
+        return "auto"
+    return False

@@ -1,0 +1,78 @@
+"""Regression tests for the driver entry points (VERDICT.md Weak #1).
+
+Round 1's driver multichip dryrun failed twice over: the mesh was built from
+``jax.devices()`` (1 TPU in the bench env), and 'auto' attention gated Pallas
+on ``jax.default_backend()`` rather than the lowering platform, emitting a
+compiled Pallas call onto CPU devices. These tests pin both fixes.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def test_dryrun_multichip_8():
+    """The driver's exact call: must build an 8-device mesh and finish a
+    finite step regardless of which platform is the default backend."""
+    from __graft_entry__ import dryrun_multichip
+
+    dryrun_multichip(8)
+
+
+def test_resolve_attn_mode():
+    from incomplete_multimodal_fusion_tpu.ops.pallas_attn import (
+        MAX_PALLAS_TOKENS, resolve_attn_mode,
+    )
+
+    assert resolve_attn_mode("pallas", 10) is True
+    assert resolve_attn_mode("xla", 10) is False
+    assert resolve_attn_mode("auto", MAX_PALLAS_TOKENS) == "auto"
+    assert resolve_attn_mode("auto", 10**9) is False
+
+
+def test_auto_attention_lowers_on_cpu():
+    """'auto' resolves per lowering platform (lax.platform_dependent): on the
+    CPU backend it must take the XLA path and match the explicit XLA result —
+    no 'Only interpret mode is supported on CPU backend' crash."""
+    from incomplete_multimodal_fusion_tpu.ops.attention import (
+        multihead_attention, zorro_mask_from_padded_types,
+    )
+    from incomplete_multimodal_fusion_tpu.ops.pallas_attn import (
+        PAD_TYPE, zorro_self_attention_auto,
+    )
+
+    b, n, h, dh = 2, 16, 2, 8
+    rng = np.random.default_rng(0)
+    q, k, v = (jnp.asarray(rng.normal(size=(b, n, h, dh)), jnp.float32)
+               for _ in range(3))
+    types = jnp.asarray(rng.integers(0, 3, size=(b, n)), jnp.int32)
+    types = types.at[:, -2:].set(PAD_TYPE)
+    fusion_type = 2
+
+    out = jax.jit(
+        lambda q, k, v, t: zorro_self_attention_auto(q, k, v, t, fusion_type)
+    )(q, k, v, types)
+    mask = zorro_mask_from_padded_types(types, fusion_type, PAD_TYPE)[:, None]
+    ref = multihead_attention(q, k, v, mask=mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_auto_attention_grads_on_cpu():
+    """Differentiating through the platform-resolved path must work (the
+    train step is jitted over it in dryrun_multichip)."""
+    from incomplete_multimodal_fusion_tpu.ops.pallas_attn import (
+        PAD_TYPE, zorro_self_attention_auto,
+    )
+
+    b, n, h, dh = 1, 8, 1, 4
+    rng = np.random.default_rng(1)
+    q, k, v = (jnp.asarray(rng.normal(size=(b, n, h, dh)), jnp.float32)
+               for _ in range(3))
+    types = jnp.zeros((b, n), jnp.int32).at[:, -1].set(PAD_TYPE)
+
+    def loss(q, k, v):
+        return jnp.sum(zorro_self_attention_auto(q, k, v, types, 0) ** 2)
+
+    grads = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(q, k, v)
+    for g in grads:
+        assert np.all(np.isfinite(np.asarray(g)))
