@@ -45,8 +45,9 @@ def vicreg_loss(za, zb, l: float = 25.0, mu: float = 25.0, nu: float = 1.0):
     za = za.astype(jnp.float32)
     zb = zb.astype(jnp.float32)
     sim = jnp.mean((za - zb) ** 2)
-    std_a = jnp.sqrt(za.var(axis=0) + 1e-4)
-    std_b = jnp.sqrt(zb.var(axis=0) + 1e-4)
+    # torch .var() defaults to the unbiased (N-1) estimator (criterion.py:181)
+    std_a = jnp.sqrt(za.var(axis=0, ddof=1) + 1e-4)
+    std_b = jnp.sqrt(zb.var(axis=0, ddof=1) + 1e-4)
     std = jnp.mean(jax.nn.relu(1 - std_a)) + jnp.mean(jax.nn.relu(1 - std_b))
     n, d = za.shape
     ca = (za - za.mean(0)).T @ (za - za.mean(0)) / (n - 1)

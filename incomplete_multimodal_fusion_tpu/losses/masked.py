@@ -49,7 +49,8 @@ def _norm_pix(target: jnp.ndarray, p: int) -> jnp.ndarray:
     nh, nw = h // p, w // p
     t = target.reshape(b, nh, p, nw, p, c).transpose(0, 1, 3, 2, 4, 5).reshape(b, nh * nw, -1)
     mean = t.mean(axis=-1, keepdims=True)
-    var = t.var(axis=-1, keepdims=True)
+    # torch .var() defaults to the unbiased (N-1) estimator (criterion.py:92)
+    var = t.var(axis=-1, keepdims=True, ddof=1)
     t = (t - mean) / jnp.sqrt(var + 1e-6)
     t = t.reshape(b, nh, nw, p, p, c).transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, c)
     return t
