@@ -36,6 +36,9 @@ class MSDeformAttn(nn.Module):
     n_levels: int = 4
     n_heads: int = 8
     n_points: int = 4
+    # 'auto' = Pallas hat-matmul kernel when lowered for TPU, XLA gather core
+    # elsewhere; 'pallas' / 'xla' force one side (ops/pallas_msda.py)
+    impl: str = "auto"
 
     @nn.compact
     def __call__(
@@ -72,6 +75,15 @@ class MSDeformAttn(nn.Module):
             reference_points[:, :, None, :, None, :]
             + offsets / normalizer[None, None, None, :, None, :]
         )
-        out = ms_deform_attn_core(value, tuple(spatial_shapes), locs, weights)
+        if self.impl == "pallas":
+            from ..ops.pallas_msda import ms_deform_attn_pallas
+
+            out = ms_deform_attn_pallas(value, tuple(spatial_shapes), locs, weights)
+        elif self.impl == "auto":
+            from ..ops.pallas_msda import ms_deform_attn_auto
+
+            out = ms_deform_attn_auto(value, tuple(spatial_shapes), locs, weights)
+        else:
+            out = ms_deform_attn_core(value, tuple(spatial_shapes), locs, weights)
         return nn.Dense(self.d_model, kernel_init=nn.initializers.xavier_uniform(),
                         name="output_proj")(out)

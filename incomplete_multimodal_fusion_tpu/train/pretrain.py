@@ -35,6 +35,17 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
     rng: jax.Array
     ema_params: Any = None  # optional shadow copy (train/ema.py)
+    bal_opt_state: Any = None  # balancer AdamW moments (optim_factory.py:137-149)
+
+
+class Optimizers(struct.PyTreeNode):
+    """Model + optional balancer transforms, mirroring the reference's
+    two-param-group optimizer (optim_factory.py:137-149: the balancer
+    log-vars get their own AdamW group with lr = schedule * balancer_lr_scale,
+    pretrain_mmae.py:443 ``param_group['lr'] = lr_schedule * lr_scale``)."""
+
+    model: Any = struct.field(pytree_node=False)
+    balancer: Any = struct.field(pytree_node=False, default=None)
 
 
 def cast_tree(tree, dtype):
@@ -123,6 +134,10 @@ def make_train_step(model: MultiMAE, cfg: PretrainConfig, tx):
     in_domains = tuple(cfg.data.in_domains)
     nums = tuple(cfg.data.num_patches for _ in in_domains)
     e = cfg.mask.num_encoded_tokens
+    if isinstance(tx, Optimizers):
+        tx, bal_tx = tx.model, tx.balancer
+    else:
+        bal_tx = None  # back-compat: bare transform, SGD fallback for balancer
 
     def train_step(state: TrainState, batch):
         rng, mask_rng, dropout_rng = jax.random.split(state.rng, 3)
@@ -141,10 +156,16 @@ def make_train_step(model: MultiMAE, cfg: PretrainConfig, tx):
         ) ** 0.5
         updates, opt_state = tx.update(g_params, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        # balancer log-vars: plain SGD-free adam-free small update (reference
-        # gives them their own param group with balancer_lr_scale; for
-        # simplicity they ride the same lr via direct SGD here)
-        if cfg.optim.task_balancer != "none":
+        # balancer log-vars: their own AdamW param group riding the real LR
+        # schedule scaled by balancer_lr_scale (optim_factory.py:137-149,
+        # pretrain_mmae.py:440-445)
+        bal_opt_state = state.bal_opt_state
+        if cfg.optim.task_balancer != "none" and bal_tx is not None:
+            bal_updates, bal_opt_state = bal_tx.update(
+                g_bal, state.bal_opt_state, state.balancer_params
+            )
+            params_bal = optax.apply_updates(state.balancer_params, bal_updates)
+        elif cfg.optim.task_balancer != "none":
             params_bal = jax.tree.map(
                 lambda p, g: p - cfg.optim.balancer_lr_scale * 1e-3 * g,
                 state.balancer_params, g_bal,
@@ -163,6 +184,7 @@ def make_train_step(model: MultiMAE, cfg: PretrainConfig, tx):
             opt_state=opt_state,
             rng=rng,
             ema_params=ema,
+            bal_opt_state=bal_opt_state,
         )
         return new_state, metrics
 
@@ -204,6 +226,24 @@ def create_train_state(
         if cfg.optim.task_balancer == "uncertainty"
         else {}
     )
+    # the reference's dict-form optimizer gives the balancer its own AdamW
+    # param group: lr = schedule * balancer_lr_scale, scheduled weight decay
+    # (optim_factory.py:137-149, pretrain_mmae.py:440-445). (Note the
+    # reference's dict branch also silently drops ALL weight-decay masking in
+    # that mode — an evident accident we deliberately do not reproduce for
+    # the model group.)
+    bal_tx = None
+    if cfg.optim.task_balancer != "none":
+        scale = cfg.optim.balancer_lr_scale
+        bal_tx = optax.inject_hyperparams(
+            lambda learning_rate, weight_decay: optax.adamw(
+                learning_rate, b1=cfg.optim.opt_betas[0], b2=cfg.optim.opt_betas[1],
+                eps=cfg.optim.opt_eps, weight_decay=weight_decay,
+            )
+        )(
+            learning_rate=lambda step: lr_sched(step) * scale,
+            weight_decay=wd_sched,
+        )
     ema_params = None
     if cfg.train.use_ema:
         from .ema import init_ema
@@ -216,5 +256,6 @@ def create_train_state(
         opt_state=tx.init(params),
         rng=state_rng,
         ema_params=ema_params,
+        bal_opt_state=bal_tx.init(balancer_params) if bal_tx is not None else None,
     )
-    return model, state, tx
+    return model, state, Optimizers(model=tx, balancer=bal_tx)

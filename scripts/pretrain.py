@@ -51,6 +51,11 @@ def get_args():
     p.add_argument("--auto_resume", action="store_true", default=True)
     p.add_argument("--no_auto_resume", action="store_false", dest="auto_resume")
     p.add_argument("--compute_dtype", type=str, default=None)
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="write a jax.profiler trace of a few post-compile "
+                        "steps to this directory (SURVEY §5)")
+    p.add_argument("--profile_start", type=int, default=10)
+    p.add_argument("--profile_steps", type=int, default=3)
     return p.parse_args()
 
 
@@ -169,12 +174,24 @@ def main():
         batch = shard_lib.shard_batch(
             {k: jnp.asarray(v) for k, v in next(data_iter).items()}, mesh
         )
+        if args.profile_dir and step - start_step == args.profile_start:
+            jax.profiler.start_trace(args.profile_dir)
         state, metrics = step_fn(state, batch)
+        if args.profile_dir and step - start_step == args.profile_start + args.profile_steps:
+            jax.profiler.stop_trace()
+            print(f"profiler trace written to {args.profile_dir}", flush=True)
         if step % 10 == 0:
             vals = {k: float(v) for k, v in metrics.items()}
             logger.update(**vals)
             print(f"epoch {epoch} step {step}: " +
                   " ".join(f"{k}={v:.4f}" for k, v in vals.items()), flush=True)
+            # non-finite-loss abort (pretrain_mmae.py:506-508). The reference
+            # syncs every step; we piggyback on the logging fetch so the TPU
+            # pipeline stays async — a NaN persists, so it is still caught
+            # within print_freq steps.
+            if not np.isfinite(vals["recon_loss"]):
+                print(f"Loss is {vals['recon_loss']}, stopping training", flush=True)
+                sys.exit(1)
         if (step + 1) % steps_per_epoch == 0:
             save_freq = cfg.train.save_ckpt_freq
             if (epoch + 1) % save_freq == 0 or step + 1 == total_steps:

@@ -207,6 +207,11 @@ def main():
             state, metrics = step_fn(state, batch, targets)
             for k, v in metrics.items():
                 agg.setdefault(k, []).append(float(v))
+            # non-finite-loss abort (reference pretrain_mmae.py:506-508
+            # pattern; downstream fetches metrics each step anyway)
+            if not np.isfinite(agg["loss"][-1]):
+                print(f"Loss is {agg['loss'][-1]}, stopping training", flush=True)
+                sys.exit(1)
         line = " ".join(f"{k}={np.mean(v):.4f}" for k, v in agg.items())
         print(f"epoch {epoch}: {line} lr={sched.lr:.2e} "
               f"({time.time()-t0:.0f}s)", flush=True)

@@ -87,6 +87,28 @@ class TestTrainStep:
         )
         assert moved
 
+    def test_balancer_rides_adamw_param_group(self):
+        """The log-vars get a real AdamW param group on the LR schedule
+        (optim_factory.py:137-149), not a hard-coded SGD step: the balancer
+        optimizer state must exist and advance, and the first update's
+        magnitude must be ~lr (Adam's unit-scaled first step), not 1e-3."""
+        cfg = dataclasses.replace(tiny_cfg(), optim=OptimConfig(
+            task_balancer="uncertainty", warmup_epochs=0, blr=1e-3))
+        model, state, tx = pretrain.create_train_state(
+            cfg, jax.random.PRNGKey(2), total_steps=10)
+        assert isinstance(tx, pretrain.Optimizers) and tx.balancer is not None
+        assert state.bal_opt_state is not None
+        step = jax.jit(pretrain.make_train_step(model, cfg, tx))
+        batch = {k: jnp.asarray(v) for k, v in synthetic_batch(
+            np.random.default_rng(2), cfg.data.in_domains, 4, 64).items()}
+        s2, _ = step(state, batch)
+        flat_new = jax.tree.leaves(s2.bal_opt_state)
+        flat_old = jax.tree.leaves(state.bal_opt_state)
+        assert any(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(flat_new, flat_old)
+        ), "balancer optimizer state did not advance"
+
 
 class TestDataParallel:
     def test_sharded_step_matches_single_device(self):
