@@ -20,6 +20,7 @@ def batch(seed=0, b=2, img=64):
 
 
 class TestSwin:
+    @pytest.mark.slow
     def test_pyramid(self):
         m = SwinTransformer()
         x = jnp.zeros((1, 64, 64, 3))
@@ -38,6 +39,7 @@ class TestSwin:
         f = m.apply(params, x)[0]
         assert np.isfinite(np.asarray(f)).all()
 
+    @pytest.mark.slow
     def test_maskformer_swin(self):
         cfg = MaskFormerConfig(
             image_size=64, num_classes=2, conv_dim=32, mask_dim=32,
@@ -53,6 +55,7 @@ class TestSwin:
 
 
 class TestViTAdapter:
+    @pytest.mark.slow
     def test_maskformer_vit_adapter(self):
         cfg = MaskFormerConfig(
             image_size=64, num_classes=2, dim_tokens=32, depth=4, dim_head=8,

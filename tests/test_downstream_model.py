@@ -68,6 +68,7 @@ class TestViTBaseline:
         bb = ViTBaseline(depth=12)
         assert bb.tap_layers == [2, 5, 8, 11]  # :428 formula
 
+    @pytest.mark.slow
     def test_absent_modality_invariance(self):
         """present=[1,0,1]: changing s2 input must not change features."""
         bb = ViTBaseline(in_domains=DOMAINS, image_size=IMG, patch_size=16,
@@ -130,6 +131,7 @@ class TestMaskFormer:
         )
         assert np.isfinite(np.asarray(out["pred_logits"])).all()
 
+    @pytest.mark.slow
     def test_no_recompile_across_subsets(self, model_and_params):
         model, params = model_and_params
         x = batch(5)

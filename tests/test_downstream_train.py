@@ -36,6 +36,7 @@ def make_targets(b=2):
 
 
 class TestTrainer:
+    @pytest.mark.slow
     def test_train_step_decreases_loss(self, setup):
         model, params, x = setup
         tx = ds.create_downstream_optimizer(params, lr=1e-3, clip_grad=0.0)
@@ -53,6 +54,7 @@ class TestTrainer:
         assert all(np.isfinite(losses))
         assert losses[-1] < losses[0], losses
 
+    @pytest.mark.slow
     def test_full_model_clip(self, setup):
         """SOLVER clip 0.01 (maskformer_train_ins_vit.py:66-99)."""
         model, params, x = setup
@@ -80,6 +82,7 @@ class TestTrainer:
         # input adapters + fus blocks frozen
         assert not any(v for k, v in flat.items() if k[0] == "backbone" and k[1].startswith("input_adapter"))
 
+    @pytest.mark.slow
     def test_frozen_params_unchanged_after_step(self, setup):
         model, params, x = setup
         tx = ds.create_downstream_optimizer(params, lr=1e-2, clip_grad=0.0, frozen_stages=3)
@@ -107,6 +110,7 @@ class TestTrainer:
         assert sch.step(1.0) == pytest.approx(0.1)  # bad 2 > patience -> drop
         assert sch.step(0.5) == pytest.approx(0.1)  # improvement, no change
 
+    @pytest.mark.slow
     def test_load_pretrained_backbone(self, setup):
         """Pretrain MultiMAE params restore into the backbone subtree."""
         from incomplete_multimodal_fusion_tpu.models.multimae import MultiMAE
@@ -127,6 +131,7 @@ class TestTrainer:
         # pyramid exists only downstream -> reported missing
         assert any(k.startswith("pyramid") for k in report["missing_in_ckpt"])
 
+    @pytest.mark.slow
     def test_eval_step_dice(self, setup):
         model, params, x = setup
         ev = jax.jit(ds.make_eval_step(model, CFG))

@@ -72,6 +72,7 @@ class TestCocoEvaluator:
 
 
 class TestResNetMaskFormer:
+    @pytest.mark.slow
     def test_forward(self):
         from incomplete_multimodal_fusion_tpu.models.maskformer import (
             MaskFormerConfig, MaskFormerModel,
@@ -93,6 +94,7 @@ class TestResNetMaskFormer:
         assert out["pred_masks"].shape[-2:] == (16, 16)  # stride-4 res2
         assert np.isfinite(np.asarray(out["pred_masks"])).all()
 
+    @pytest.mark.slow
     def test_resnet_stage_shapes(self):
         from incomplete_multimodal_fusion_tpu.models.resnet import ResNet
 

@@ -17,6 +17,7 @@ class TestFullOutputAdapter:
                         ff_mult=2, num_fusion_tokens=NP_, decoder_dim=32,
                         decoder_depth=1, decoder_num_heads=2, decoder_style="full")
 
+    @pytest.mark.slow
     def test_forward_shapes(self):
         model = self.make()
         x = batch(0)
@@ -95,6 +96,7 @@ class TestTTA:
 
 
 class TestUtils:
+    @pytest.mark.slow
     def test_summary_writer(self, tmp_path):
         from incomplete_multimodal_fusion_tpu.utils.summary import create_summary
 

@@ -11,6 +11,7 @@ import numpy as np
 import pytest
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     """The driver's exact call: must build an 8-device mesh and finish a
     finite step regardless of which platform is the default backend."""

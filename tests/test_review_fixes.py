@@ -18,6 +18,7 @@ def make_targets(b=2):
     return SegTargets(jnp.asarray(labels), jnp.asarray(masks), jnp.asarray(valid))
 
 
+@pytest.mark.slow
 def test_loss_mix_is_exactly_03_03_04():
     """'ce' in 'loss_dice' double-counted dice into the CE term; the total
     must now equal 0.3*ce + 0.3*dice + 0.4*mask of the reported components."""
@@ -34,6 +35,7 @@ def test_loss_mix_is_exactly_03_03_04():
     np.testing.assert_allclose(float(m["loss"]), total, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_weight_dict_applied():
     """Reference CLASS/MASK/DICE weights 2/5/5 scale the reported components
     (maskformer_ake150.yaml + maskformer_train_ins_vit.py:123-131)."""

@@ -41,6 +41,7 @@ class TestPointSample:
         )[:, 0, :, 0].numpy()
         np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-5)
 
+    @pytest.mark.slow
     def test_uncertain_points_shape_and_range(self):
         logits = jnp.asarray(np.random.default_rng(1).standard_normal((2, 8, 8)), jnp.float32)
         pts = sc.uncertain_point_coords(jax.random.PRNGKey(0), logits, 16, 3.0, 0.75)
@@ -100,6 +101,7 @@ class TestMatcher:
 
 
 class TestCriterion:
+    @pytest.mark.slow
     def test_full_criterion_finite_and_keys(self):
         outputs = make_outputs()
         outputs["aux_outputs"] = [make_outputs(seed=5)]
@@ -111,6 +113,7 @@ class TestCriterion:
                   "loss_ce_0", "loss_mask_0", "loss_dice_0"):
             assert k in losses and np.isfinite(float(losses[k])), k
 
+    @pytest.mark.slow
     def test_perfect_prediction_low_loss(self):
         """Predictions equal to targets -> near-zero mask/dice losses.
         Block masks: point labels stay ~binary under bilinear sampling."""
@@ -136,6 +139,7 @@ class TestCriterion:
         assert float(losses["loss_dice"]) < 0.2
         assert float(losses["loss_mask"]) < 0.2
 
+    @pytest.mark.slow
     def test_gradients_flow(self):
         outputs = make_outputs()
         targets = make_targets()

@@ -50,6 +50,7 @@ class TestSchedules:
 
 
 class TestTrainStep:
+    @pytest.mark.slow
     def test_loss_decreases(self):
         cfg = tiny_cfg()
         model, state, tx = pretrain.create_train_state(cfg, jax.random.PRNGKey(0), total_steps=100)
@@ -64,6 +65,7 @@ class TestTrainStep:
         assert all(np.isfinite(losses))
         assert np.mean(losses[-3:]) < np.mean(losses[:3]), losses
 
+    @pytest.mark.slow
     def test_metrics_keys(self):
         cfg = tiny_cfg()
         model, state, tx = pretrain.create_train_state(cfg, jax.random.PRNGKey(1), total_steps=10)
@@ -74,6 +76,7 @@ class TestTrainStep:
         for k in ("loss", "contra_loss", "recon_loss", "grad_norm", "s1_loss", "s2_loss", "dem_loss"):
             assert k in m
 
+    @pytest.mark.slow
     def test_uncertainty_balancer(self):
         cfg = dataclasses.replace(tiny_cfg(), optim=OptimConfig(task_balancer="uncertainty"))
         model, state, tx = pretrain.create_train_state(cfg, jax.random.PRNGKey(2), total_steps=10)
@@ -87,6 +90,7 @@ class TestTrainStep:
         )
         assert moved
 
+    @pytest.mark.slow
     def test_balancer_rides_adamw_param_group(self):
         """The log-vars get a real AdamW param group on the LR schedule
         (optim_factory.py:137-149), not a hard-coded SGD step: the balancer
@@ -111,6 +115,7 @@ class TestTrainStep:
 
 
 class TestDataParallel:
+    @pytest.mark.slow
     def test_sharded_step_matches_single_device(self):
         """DP over 8 CPU devices == single-device numerics (replaces the
         reference's DDP gradient averaging, pretrain_mmae.py:342-349)."""
@@ -137,6 +142,7 @@ class TestDataParallel:
         for a, b in zip(l1, l8):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
 
+    @pytest.mark.slow
     def test_tensor_parallel_shardings_compile(self):
         """TP over a ('data','model') mesh: kernels sharded on hidden dim,
         XLA inserts the collectives; one step must compile and run."""

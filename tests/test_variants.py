@@ -36,6 +36,7 @@ QUAD = ("s1_2ch", "s2_4ch", "dem", "dnw")
 
 
 class TestQuadruplet:
+    @pytest.mark.slow
     def test_forward_shapes(self):
         model = MultiMAE(in_domains=QUAD, out_domains=QUAD, image_size=IMG,
                          patch_size=PATCH, dim_tokens=32, depth=2, dim_head=8,
@@ -53,6 +54,7 @@ class TestQuadruplet:
         assert out["pooled"].shape == (2, 5, 32)  # 4 modalities + fusion
         assert model.fusion_type == 4  # zorro_utils_quadruplet.py:18-23
 
+    @pytest.mark.slow
     def test_quadruplet_train_step(self):
         cfg = PretrainConfig(
             model=ModelConfig(dim_tokens=32, depth=2, dim_head=8, heads=2,
@@ -90,6 +92,7 @@ class TestLSTMFusion:
             "dem": jnp.asarray(r.standard_normal((b, IMG, IMG, 1)), jnp.float32),
         }
 
+    @pytest.mark.slow
     def test_forward(self):
         """s2+dem LSTM model (pretrain_mmae_s2dsm.py uses multimae_lstm_s2dsm)."""
         model = self.make()
@@ -123,6 +126,7 @@ class TestLSTMFusion:
             np.asarray(oa["preds"]["s2"]), np.asarray(ob["preds"]["s2"]), atol=1e-5
         )
 
+    @pytest.mark.slow
     def test_lstm_grads(self):
         model = self.make()
         x = self.batch(2)
