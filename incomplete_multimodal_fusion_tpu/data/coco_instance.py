@@ -129,12 +129,26 @@ class CocoInstanceDataset:
         return x, SegTargets(labels, masks, valid)
 
 
+def _augment_one(x, t, rng, aug_cfg):
+    """Shared geometric transform across modalities + instance masks
+    (aug_strategy.py pipeline via imgaug_mask, dataset.py:115,166);
+    instances whose mask leaves the frame are invalidated."""
+    from .augment import augment_sample
+
+    imgs_chw = {k: v.transpose(2, 0, 1) for k, v in x.items()}
+    imgs, masks, _ = augment_sample(imgs_chw, rng, aug_cfg, masks=t.masks)
+    x = {k: v.transpose(1, 2, 0) for k, v in imgs.items()}
+    valid = t.valid & (masks.reshape(masks.shape[0], -1).sum(axis=1) > 0)
+    return x, SegTargets(t.labels, masks, valid)
+
+
 def coco_batch_iterator(
     dataset: CocoInstanceDataset,
     batch_size: int,
     seed: int = 0,
     shuffle: bool = True,
     prefetch: int = 2,
+    augment=None,  # Optional[data.augment.AugmentConfig]
 ) -> Iterator[Tuple[Dict[str, np.ndarray], SegTargets]]:
     rng = np.random.default_rng(seed)
     q: "queue.Queue" = queue.Queue(maxsize=prefetch)
@@ -145,7 +159,10 @@ def coco_batch_iterator(
             if shuffle:
                 rng.shuffle(idx)
             for start in range(0, len(dataset) - batch_size + 1, batch_size):
-                xs, ts = zip(*(dataset[int(i)] for i in idx[start : start + batch_size]))
+                pairs = [dataset[int(i)] for i in idx[start : start + batch_size]]
+                if augment is not None:
+                    pairs = [_augment_one(x, t, rng, augment) for x, t in pairs]
+                xs, ts = zip(*pairs)
                 batch = {k: np.stack([x[k] for x in xs]) for k in xs[0]}
                 targets = SegTargets(
                     np.stack([t.labels for t in ts]),

@@ -117,12 +117,22 @@ def load_dsm(path: str, size: int = 256) -> np.ndarray:
 
 
 class DFC2023Dataset:
-    """Sample index over the rgb/sar/dsm tree (multimodal_dfc2023.py:180-238)."""
+    """Sample index over the rgb/sar/dsm tree (multimodal_dfc2023.py:180-238).
 
-    def __init__(self, path: str, size: int = 256, unlabeled: bool = True):
+    ``transform=True`` enables the consistent multimodal RandomCrop
+    (multimodal_dfc2023.py:54-94, 201-205): rasters load at ``size`` and a
+    shared ``crop_size`` window is cut from every modality (+ label).
+    """
+
+    def __init__(self, path: str, size: int = 256, unlabeled: bool = True,
+                 transform: bool = False, crop_size: Optional[int] = None,
+                 seed: int = 0):
         assert os.path.exists(path), path
         self.size = size
         self.unlabeled = unlabeled
+        self.transform = transform
+        self.crop_size = crop_size or size
+        self._rng = np.random.default_rng(seed)
         rgb_locs = sorted(
             glob.glob(os.path.join(path, "rgb/*.tiff"))
             + glob.glob(os.path.join(path, "rgb/*.tif"))
@@ -154,6 +164,10 @@ class DFC2023Dataset:
         }
         if not self.unlabeled:
             out["label"] = _read_raster(s["lc"])[0].astype(np.int32)
+        if self.transform and self.crop_size < self.size:
+            from .augment import random_crop_multimodal
+
+            out = random_crop_multimodal(out, (self.crop_size, self.crop_size), self._rng)
         return out
 
 
@@ -174,13 +188,20 @@ def dfc2023_iterator(
     shuffle: bool = True,
     prefetch: int = 2,
     num_threads: int = 4,
+    load_size: Optional[int] = None,
+    random_crop: bool = False,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Infinite shuffled NHWC batch iterator with background prefetch
     (the reference's DataLoader(num_workers) role, multimodal CPU decode
-    overlapped with TPU compute)."""
+    overlapped with TPU compute). ``random_crop`` loads at ``load_size``
+    (default 2x input) and cuts a shared input_size window per sample."""
     from concurrent.futures import ThreadPoolExecutor
 
-    ds = DFC2023Dataset(path, size=input_size)
+    if random_crop:
+        ds = DFC2023Dataset(path, size=load_size or 2 * input_size,
+                            transform=True, crop_size=input_size, seed=seed)
+    else:
+        ds = DFC2023Dataset(path, size=input_size)
     rng = np.random.default_rng(seed)
     q: "queue.Queue" = queue.Queue(maxsize=prefetch)
     pool = ThreadPoolExecutor(max_workers=num_threads)

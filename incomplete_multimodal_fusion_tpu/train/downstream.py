@@ -236,6 +236,24 @@ def label_map_from_targets(targets: SegTargets) -> jnp.ndarray:
     return jnp.max(per_inst, axis=1).astype(jnp.int32)
 
 
+def make_semantic_pred_step(model: MaskFormerModel, cfg: MaskFormerConfig,
+                            out_size: int = 0):
+    """Per-pixel class prediction for ConfMatrix AA/SA/mIoU eval
+    (maskformer_train_seg.py:242-285; argmax + 1 skips the ignore class like
+    mask2former_infer_seg.py:239)."""
+    from ..eval.metrics import semantic_inference
+
+    def pred_step(params, batch):
+        out = model.apply({"params": params}, batch)
+        masks = out["pred_masks"]
+        s = out_size or cfg.image_size
+        masks = jax.image.resize(masks, masks.shape[:2] + (s, s), method="bilinear")
+        sem = semantic_inference(out["pred_logits"], masks)  # [B, K, H, W]
+        return jnp.argmax(sem, axis=1) + 1
+
+    return pred_step
+
+
 def make_eval_step(model: MaskFormerModel, cfg: MaskFormerConfig):
     """Dice eval on full-modality inputs (maskformer_train_ins_vit.py:269-306)."""
 

@@ -46,6 +46,9 @@ def get_args():
     p.add_argument("--task_balancer", type=str, default=None)
     p.add_argument("--data_path", type=str, default=None,
                    help="DFC2023-layout dir; synthetic data if empty")
+    p.add_argument("--random_crop", action="store_true",
+                   help="load rasters at 2x input size and take a shared "
+                        "random crop per sample (multimodal_dfc2023.py:54-94)")
     p.add_argument("--output_dir", type=str, default=None)
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--auto_resume", action="store_true", default=True)
@@ -157,6 +160,7 @@ def main():
         data_iter = dfc2023_iterator(
             cfg.data.data_path, cfg.data.in_domains, global_batch,
             cfg.data.input_size, seed=cfg.train.seed,
+            random_crop=args.random_crop,
         )
     else:
         data_iter = synthetic_iterator(

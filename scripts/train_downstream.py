@@ -48,11 +48,19 @@ def get_args():
     p.add_argument("--coco_root", default="")
     p.add_argument("--coco_json", default="")
     p.add_argument("--quad_root", default="")
+    p.add_argument("--ade_root", default="",
+                   help="root dir the odgt fpath_img/fpath_segm are relative to")
+    p.add_argument("--odgt", default="",
+                   help="ADE20k-style odgt json-lines list (main_seg.py:64-92)")
+    p.add_argument("--segm_downsampling_rate", type=int, default=1)
     p.add_argument("--output_dir", default="./save_downstream")
     p.add_argument("--eval_freq", type=int, default=50)
     p.add_argument("--save_freq", type=int, default=10)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--compute_dtype", default="bfloat16")
+    p.add_argument("--aug", action="store_true",
+                   help="train-time geometric augmentation (rotate/scale/"
+                        "translate/shear/flip, aug_strategy.py equivalents)")
     return p.parse_args()
 
 
@@ -99,6 +107,11 @@ def main():
 
     m = MODEL_SIZES[args.model_size]
     n_grid = (args.input_size // 16) ** 2
+    cfg_kw = {}
+    if args.odgt:
+        # ADE20k odgt path is RGB-only (main_seg.py:64-92): the multimodal
+        # backbones run with a single 's2' domain
+        cfg_kw["in_domains"] = ("s2",)
     cfg = MaskFormerConfig(
         image_size=args.input_size,
         num_classes=args.num_classes,
@@ -107,6 +120,7 @@ def main():
         num_queries=args.num_queries, dec_layers=args.dec_layers,
         frozen_stages=args.frozen_stages,
         backbone_type=args.backbone, fusion_mode=args.fusion_mode,
+        **cfg_kw,
     )
     model = MaskFormerModel(cfg)
     rng = np.random.default_rng(args.seed)
@@ -119,7 +133,38 @@ def main():
         )
 
         dset = CocoInstanceDataset(args.coco_root, args.coco_json, args.input_size)
-        data_iter = coco_batch_iterator(dset, args.batch_size, seed=args.seed)
+        aug_cfg = None
+        if args.aug:
+            from incomplete_multimodal_fusion_tpu.data.augment import AugmentConfig
+
+            aug_cfg = AugmentConfig()
+        data_iter = coco_batch_iterator(dset, args.batch_size, seed=args.seed,
+                                        augment=aug_cfg)
+    elif args.task == "semantic" and args.odgt:
+        from incomplete_multimodal_fusion_tpu.data.ade_odgt import (
+            ADEOdgtDataset, ade_batch_iterator,
+        )
+        from incomplete_multimodal_fusion_tpu.losses.set_criterion import (
+            targets_from_semantic_labels,
+        )
+
+        dense_masks = True  # criterion_seg.py:169-204 semantics
+        ade_ds = ADEOdgtDataset(
+            args.odgt, root=args.ade_root, img_size=args.input_size,
+            segm_downsampling_rate=args.segm_downsampling_rate,
+            flip=args.aug, seed=args.seed,
+        )
+        raw_iter = ade_batch_iterator(ade_ds, args.batch_size, seed=args.seed)
+
+        def ade_iter():
+            import jax.numpy as jnp
+
+            for b in raw_iter:
+                lab = jnp.asarray(b["label"].astype(np.int32))
+                yield ({"s2": b["image"].astype(np.float32)},
+                       targets_from_semantic_labels(lab, args.num_classes))
+
+        data_iter = ade_iter()
     elif args.task == "semantic" and args.quad_root:
         from incomplete_multimodal_fusion_tpu.data.quadruplet import QuadrupletDataset
         from incomplete_multimodal_fusion_tpu.losses.set_criterion import (
@@ -133,11 +178,29 @@ def main():
         def quad_iter():
             import jax.numpy as jnp
 
+            aug_cfg = None
+            if args.aug:
+                from incomplete_multimodal_fusion_tpu.data.augment import (
+                    AugmentConfig, augment_sample,
+                )
+
+                aug_cfg = AugmentConfig()
+
             idx = np.arange(len(dset))
             while True:
                 rng.shuffle(idx)
                 for start in range(0, len(dset) - args.batch_size + 1, args.batch_size):
                     samples = [dset[int(i)] for i in idx[start : start + args.batch_size]]
+                    if aug_cfg is not None:
+                        auged = []
+                        for s in samples:
+                            imgs = {k: s[k] for k in ("s1", "s2", "dem")}
+                            imgs, _, lab = augment_sample(
+                                imgs, rng, aug_cfg, label=s["label"],
+                                label_cval=255,  # ignore_index padding
+                            )
+                            auged.append({**imgs, "label": lab})
+                        samples = auged
                     batch = {
                         "s1": np.stack([s["s1"].transpose(1, 2, 0)[..., :1] for s in samples]),
                         "s2": np.stack([s["s2"].transpose(1, 2, 0)[..., :3] for s in samples]),
@@ -192,6 +255,10 @@ def main():
         donate_argnums=0,
     )
     eval_fn = jax.jit(ds.make_eval_step(model, cfg))
+    sem_pred_fn = jax.jit(ds.make_semantic_pred_step(
+        model, cfg,
+        out_size=args.input_size // max(args.segm_downsampling_rate, 1),
+    ))
 
     sched = ds.ReduceLROnPlateau(lr=args.lr, mode="max")  # maximize dice
     os.makedirs(args.output_dir, exist_ok=True)
@@ -222,7 +289,17 @@ def main():
             eval_batch = {k: jnp.asarray(v) for k, v in eval_batch.items()}
             gt = ds.label_map_from_targets(jax.tree.map(jnp.asarray, eval_targets))
             dice = float(eval_fn(state.params, eval_batch, gt))
-            new_lr = sched.step(dice)
+            score = dice
+            if args.task == "semantic":
+                # ConfMatrix AA / mIoU eval (maskformer_train_seg.py:242-285)
+                from incomplete_multimodal_fusion_tpu.eval.metrics import ConfMatrix
+
+                pred = np.asarray(sem_pred_fn(state.params, eval_batch))
+                cm = ConfMatrix(args.num_classes + 1)
+                cm.add_batch(np.asarray(gt), pred)
+                score = cm.get_miou()
+                print(f"  eval AA={cm.get_aa():.4f} mIoU={score:.4f}", flush=True)
+            new_lr = sched.step(score)
             state = state.replace(
                 opt_state=ds.set_learning_rate(state.opt_state, new_lr)
             )
