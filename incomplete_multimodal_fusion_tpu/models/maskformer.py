@@ -95,13 +95,12 @@ class MaskFormerModel(nn.Module):
 
             feats = SwinTransformer(name="backbone")(x[c.resnet_input])
         elif c.backbone_type == "vit_adapter":
-            from .vit_adapter import ViTAdapterBaseline
-
-            feats = ViTAdapterBaseline(
+            feats = ViTBaseline(
                 in_domains=c.in_domains, image_size=c.image_size,
                 patch_size=c.patch_size, dim_tokens=c.dim_tokens,
                 depth=c.depth, dim_head=c.dim_head, heads=c.heads,
-                num_fusion_tokens=c.num_fusion_tokens, name="backbone",
+                num_fusion_tokens=c.num_fusion_tokens, adapter=True,
+                name="backbone",
             )(x, mask_info, e, present=present, deterministic=deterministic)
         else:
             backbone = ViTBaseline(

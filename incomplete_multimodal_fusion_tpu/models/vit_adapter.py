@@ -1,14 +1,13 @@
-"""ViT-Adapter backbone variant
+"""ViT-Adapter building blocks
 (reference downstream/*/modeling/multimae/multimae_big_adapter.py:1-482 +
 adapter_modules.py:94-436): a convolutional SpatialPriorModule produces
-multi-scale spatial priors; InteractionBlocks exchange information between
-the ViT fusion stream and the priors through multi-scale deformable
-attention (injector: priors -> tokens; extractor: tokens -> priors); the
-enriched priors become the detection pyramid.
-
-Built on the same MSDeformAttn core as the pixel decoder; the ViT here is
-the incomplete-fusion encoder (ViTBaseline), interacting after each tap
-layer.
+multi-scale spatial priors; injector/extractor pairs exchange information
+between the ViT fusion stream and the priors through multi-scale deformable
+attention. The interactions are INTERLEAVED with the encoder block slices —
+see ViTBaseline(adapter=True) in vit_baseline.py, which wraps each
+interaction_groups slice with one injector/extractor pair
+(multimae_big_adapter.py:311-314 semantics), so injected priors shape every
+subsequent encoder layer.
 """
 from __future__ import annotations
 
@@ -18,11 +17,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.masking import MaskInfo
 from .layers import LayerNorm, Mlp
 from .msda_module import MSDeformAttn
-from .pixel_decoder import reference_points_for
-from .vit_baseline import ViTBaseline
 
 
 class SpatialPriorModule(nn.Module):
@@ -96,86 +92,3 @@ class Extractor(nn.Module):
             LayerNorm(name="ffn_norm")(priors)
         )
         return priors
-
-
-class ViTAdapterBaseline(nn.Module):
-    """Fusion-ViT + adapter interactions; returns a 4-level pyramid whose
-    channels are all dim_tokens (like the reference's adapter variant)."""
-
-    in_domains: Tuple[str, ...] = ("s1", "s2", "dem")
-    image_size: int = 256
-    patch_size: int = 16
-    dim_tokens: int = 192
-    depth: int = 12
-    dim_head: int = 64
-    heads: int = 3
-    num_fusion_tokens: int = 256
-    prior_input: str = "s2"
-    num_interactions: int = 4
-
-    @nn.compact
-    def __call__(
-        self,
-        x: Dict[str, jnp.ndarray],
-        mask_info: MaskInfo,
-        num_encoded_tokens: int,
-        present: Optional[jnp.ndarray] = None,
-        deterministic: bool = True,
-    ):
-        d = self.dim_tokens
-        hp = self.image_size // self.patch_size  # fusion grid side (stride 16)
-        vit = ViTBaseline(
-            in_domains=self.in_domains, image_size=self.image_size,
-            patch_size=self.patch_size, dim_tokens=d, depth=self.depth,
-            dim_head=self.dim_head, heads=self.heads,
-            num_fusion_tokens=self.num_fusion_tokens, name="vit",
-        )
-        # run the fusion encoder; its pyramid gives us the tapped fusion maps
-        vit_feats = vit(x, mask_info, num_encoded_tokens, present=present,
-                        deterministic=deterministic)
-        # token stream for interactions = the stride-16 tap (identity level)
-        tokens_map = vit_feats[2]  # [B, hp, hp, d]
-        b = tokens_map.shape[0]
-        tokens = tokens_map.reshape(b, hp * hp, d)
-
-        priors = SpatialPriorModule(d, name="spm")(x[self.prior_input])
-        prior_shapes = [(p.shape[1], p.shape[2]) for p in priors[1:]]  # strides 8/16/32
-        priors_flat = jnp.concatenate(
-            [p.reshape(b, -1, d) for p in priors[1:]], axis=1
-        )
-
-        token_shape = (hp, hp)
-        token_ref = reference_points_for([token_shape])[None][..., :1, :]
-        token_ref = jnp.broadcast_to(
-            token_ref, (b, hp * hp, 1, 2)
-        )
-        token_ref_ms = jnp.broadcast_to(
-            token_ref[:, :, :1, :], (b, hp * hp, len(prior_shapes), 2)
-        )
-        prior_ref = reference_points_for(prior_shapes)[None]
-        prior_ref = jnp.broadcast_to(prior_ref, (b,) + prior_ref.shape[1:])[..., :1, :]
-
-        for i in range(self.num_interactions):
-            tokens = Injector(d, name=f"injector{i}")(
-                tokens, token_ref_ms, priors_flat, prior_shapes
-            )
-            priors_flat = Extractor(d, name=f"extractor{i}")(
-                priors_flat, prior_ref, tokens, token_shape
-            )
-
-        # split priors back to maps; add the ViT pyramid residually
-        outs = []
-        start = 0
-        c1 = priors[0]
-        up = jax.image.resize(
-            priors_flat[:, : prior_shapes[0][0] * prior_shapes[0][1]].reshape(
-                b, *prior_shapes[0], d
-            ),
-            c1.shape, method="bilinear",
-        )
-        outs.append(c1 + up)  # stride 4
-        for (h_, w_) in prior_shapes:
-            seg = priors_flat[:, start : start + h_ * w_].reshape(b, h_, w_, d)
-            start += h_ * w_
-            outs.append(seg)
-        return [o + v for o, v in zip(outs, vit_feats)]

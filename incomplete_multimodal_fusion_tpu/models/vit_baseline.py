@@ -73,6 +73,15 @@ class ViTBaseline(nn.Module):
     # full-attention blocks over all tokens, posemb'd return tokens
     # attention-pool the final tokens, replicated across the 4 taps)
     fusion_mode: str = "crossattn"
+    # ViT-Adapter (multimae_big_adapter.py:240-330 + adapter_modules.py):
+    # SpatialPriorModule priors exchange information with the FUSION stream
+    # through injector/extractor interactions wrapped around encoder block
+    # slices — the injected priors influence every later encoder layer
+    # (interaction_indexes semantics, multimae_big_adapter.py:311-314)
+    adapter: bool = False
+    adapter_prior_input: str = "s2"
+    adapter_heads: int = 0  # 0 = auto
+    adapter_points: int = 4
 
     @property
     def num_patches(self) -> int:
@@ -90,6 +99,17 @@ class ViTBaseline(nn.Module):
         taps = [i for i in range(-1, self.depth, step)][1:]
         taps = taps[-4:]
         return [taps[0]] * (4 - len(taps)) + taps  # pad for shallow test nets
+
+    @property
+    def interaction_groups(self):
+        """Block slices [(start, end)] each wrapped by one injector/extractor
+        pair (multimae_big_adapter.py interaction_indexes, :311-314)."""
+        ends = sorted(set(self.tap_layers))
+        out, prev = [], -1
+        for e_ in ends:
+            out.append((prev + 1, e_))
+            prev = e_
+        return out
 
     def setup(self):
         specs = {d: modreg.get(d) for d in self.in_domains}
@@ -140,6 +160,31 @@ class ViTBaseline(nn.Module):
             self.mlp = Mlp(hidden_features=self.dim_tokens * 4, name="mlp")
         self.norm = BiaslessLayerNorm(name="norm")
         self.pyramid = FeaturePyramid(self.dim_tokens, name="pyramid")
+        if self.adapter:
+            from .vit_adapter import Extractor, Injector, SpatialPriorModule
+
+            self.spm = SpatialPriorModule(self.dim_tokens, name="spm")
+            n_int = len(self.interaction_groups)
+            self.injectors = [
+                Injector(self.dim_tokens, self.adapter_heads,
+                         self.adapter_points, name=f"injector{i}")
+                for i in range(n_int)
+            ]
+            self.extractors = [
+                Extractor(self.dim_tokens, self.adapter_heads,
+                          self.adapter_points, name=f"extractor{i}")
+                for i in range(n_int)
+            ]
+            # 3-level prior embedding + c1 top-up (multimae_big_adapter.py:
+            # 250 level_embed, 262 self.up)
+            self.adapter_level_embed = self.param(
+                "adapter_level_embed", trunc_normal_init(0.02),
+                (3, self.dim_tokens),
+            )
+            self.adapter_up = nn.ConvTranspose(
+                self.dim_tokens, (2, 2), strides=(2, 2), name="adapter_up",
+                kernel_init=nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
+            )
 
     def __call__(
         self,
@@ -189,9 +234,50 @@ class ViTBaseline(nn.Module):
         onehot = ((slot[..., None] == jnp.arange(e, dtype=slot.dtype))
                   & use[..., None]).astype(dtype)
 
+        # ViT-Adapter priors (multimae_big_adapter.py:296-302): conv stem
+        # pyramid + level embedding, flattened for the deformable interactions
+        if self.adapter:
+            from .pixel_decoder import reference_points_for
+
+            priors = self.spm(x[self.adapter_prior_input].astype(dtype))
+            c1 = priors[0]  # stride 4
+            cs = [
+                p + self.adapter_level_embed[i][None, None, None].astype(dtype)
+                for i, p in enumerate(priors[1:])
+            ]
+            prior_shapes = [(p.shape[1], p.shape[2]) for p in cs]
+            priors_flat = jnp.concatenate(
+                [p.reshape(b, -1, self.dim_tokens) for p in cs], axis=1
+            )
+            token_shape = (hp, hp)
+            tok_ref = reference_points_for([token_shape])[:, :1, :]  # [F,1,2]
+            tok_ref_ms = jnp.broadcast_to(
+                tok_ref[None], (b, f, 1, 2)
+            )
+            tok_ref_ms = jnp.broadcast_to(
+                tok_ref_ms[:, :, :1, :], (b, f, len(prior_shapes), 2)
+            )
+            prior_ref = reference_points_for(prior_shapes)[:, :1, :]
+            prior_ref = jnp.broadcast_to(
+                prior_ref[None], (b, prior_ref.shape[0], 1, 2)
+            )
+            group_of_start = {s: gi for gi, (s, _) in enumerate(self.interaction_groups)}
+            group_of_end = {e_: gi for gi, (_, e_) in enumerate(self.interaction_groups)}
+        else:
+            group_of_start = group_of_end = {}
+
         mask_emb = self.mask_embedding.astype(dtype)
         fusion_outs = []
         for i, blk in enumerate(self.blocks):
+            if self.adapter and i in group_of_start:
+                # inject priors INTO the fusion stream before this block
+                # slice, so they shape all subsequent encoder computation
+                # (InteractionBlock order, adapter_modules.py:181-196)
+                gi = group_of_start[i]
+                fus_inj = self.injectors[gi](
+                    tokens[:, e:, :], tok_ref_ms, priors_flat, prior_shapes
+                )
+                tokens = jnp.concatenate([tokens[:, :e, :], fus_inj], axis=1)
             fusion_new = self.fus_blocks[i](
                 tokens[:, :e, :], tokens[:, e:, :], mask_emb, onehot, use,
                 plane_valid=plane_valid,
@@ -202,12 +288,33 @@ class ViTBaseline(nn.Module):
                 use_pallas=use_pallas, deterministic=deterministic,
             )
             fusion_outs.append(tokens[:, e:, :])
+            if self.adapter and i in group_of_end:
+                gi = group_of_end[i]
+                priors_flat = self.extractors[gi](
+                    priors_flat, prior_ref,
+                    tokens[:, e:, :], token_shape,
+                )
 
         feats = []
         for tap in self.tap_layers:
             o = self.norm(fusion_outs[tap])
             feats.append(o.reshape(b, hp, hp, self.dim_tokens))
-        return self.pyramid(*feats)
+        vit_pyr = self.pyramid(*feats)
+        if not self.adapter:
+            return vit_pyr
+
+        # split enriched priors back into maps; c1 = up(c2) + c1; add the
+        # ViT pyramid (add_vit_feature, multimae_big_adapter.py:318-330)
+        start = 0
+        c_maps = []
+        for (h_, w_) in prior_shapes:
+            c_maps.append(
+                priors_flat[:, start : start + h_ * w_].reshape(b, h_, w_, -1)
+            )
+            start += h_ * w_
+        c1 = self.adapter_up(c_maps[0]) + c1
+        outs = [c1] + c_maps
+        return [o + v for o, v in zip(outs, vit_pyr)]
 
     def _forward_sup(self, input_task_tokens, b, dtype, deterministic):
         """Supervised baseline (multimae_sup.py:315-357): full-attention

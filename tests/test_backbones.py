@@ -72,6 +72,60 @@ class TestViTAdapter:
         assert out["pred_logits"].shape == (2, 8, 3)
         assert np.isfinite(np.asarray(out["pred_masks"])).all()
 
+    @pytest.mark.slow
+    def test_priors_change_encoder_activations(self):
+        """Interleaving criterion (VERDICT.md #7): with nonzero injector
+        gamma, perturbing ONLY the SpatialPriorModule weights must change the
+        encoder's internal block outputs — the priors are injected INTO the
+        ViT computation (multimae_big_adapter.py:311-314), not merely summed
+        onto its pyramid. With gamma=0 the same perturbation must leave the
+        encoder untouched (negative control)."""
+        import flax
+        import jax.numpy as jnp
+
+        from incomplete_multimodal_fusion_tpu.models.vit_baseline import ViTBaseline
+        from incomplete_multimodal_fusion_tpu.ops import masking
+
+        model = ViTBaseline(
+            image_size=64, dim_tokens=32, depth=4, dim_head=8, heads=2,
+            num_fusion_tokens=16, adapter=True,
+        )
+        x = batch()
+        np_ = 16
+        mi = masking.full_visible_mask_info(("s1", "s2", "dem"), (np_,) * 3, 2)
+        params = model.init(jax.random.PRNGKey(0), x, mi, 3 * np_)["params"]
+
+        def with_gamma(p, val):
+            p = flax.core.unfreeze(p)
+            out = flax.traverse_util.flatten_dict(p)
+            for k in list(out):
+                if k[-1] == "gamma" and any(s.startswith("injector") for s in k):
+                    out[k] = jnp.full_like(out[k], val)
+            return flax.traverse_util.unflatten_dict(out)
+
+        def perturb_spm(p):
+            out = flax.traverse_util.flatten_dict(flax.core.unfreeze(p))
+            for k in list(out):
+                if k[0] == "spm" and k[-1] == "kernel":
+                    out[k] = out[k] + 0.5
+            return flax.traverse_util.unflatten_dict(out)
+
+        def block_out(p):
+            _, inter = model.apply(
+                {"params": p}, x, mi, 3 * np_,
+                capture_intermediates=lambda mdl, name: mdl.name == "block3",
+            )
+            return np.asarray(
+                jax.tree.leaves(inter["intermediates"])[0]
+            )
+
+        p_on = with_gamma(params, 1.0)
+        assert not np.allclose(block_out(p_on), block_out(perturb_spm(p_on)),
+                               atol=1e-6), "priors do not reach the encoder"
+        p_off = with_gamma(params, 0.0)
+        np.testing.assert_allclose(block_out(p_off), block_out(perturb_spm(p_off)),
+                                   atol=1e-6)
+
     def test_adapter_injector_zero_init_keeps_vit(self):
         """gamma=0 init: at init the injector is an identity on tokens, so
         the model starts as the plain fusion ViT + prior pyramid."""
