@@ -147,25 +147,16 @@ def mask_info_from_task_masks(
     return mask_info_from_flat_mask(mask_all, task_names, nums, num_encoded_tokens)
 
 
-def incomplete_random_masks(
+def _single_incomplete_mask(
     key: jax.Array,
-    task_names: Tuple[str, ...],
-    num_tokens_per_task: Tuple[int, ...],
-    present: jnp.ndarray,  # [T] bool — modalities available this step
-    num_encoded_tokens: int,  # static packing size (>= max possible visible)
-    batch_size: int,
-    keep_ratio: float = 0.9,
-    alphas: float = 1.0,
-) -> MaskInfo:
-    """Downstream train-time masking (multimae_big_imcomplete.py:542-594):
-    a random modality subset is chosen per step (`present`, sampled OUTSIDE
-    jit or via `sample_modality_subset`), then keep_ratio of the present
-    tokens stay visible via Dirichlet budgeting. Absent modalities are fully
-    masked; the packed layout pads up to the static num_encoded_tokens.
-    """
+    num_tokens_per_task: Sequence[int],
+    present: jnp.ndarray,  # [T] float
+    keep_ratio: float,
+    alphas: float,
+) -> jnp.ndarray:
+    """One [N] 0/1 keep-mask over the present modalities."""
     n_tasks = len(num_tokens_per_task)
     total = int(sum(num_tokens_per_task))
-    present = present.astype(jnp.float32)
     k_dir, k_tok, k_fix = jax.random.split(key, 3)
 
     alphas_vec = jnp.full((n_tasks,), alphas, jnp.float32) * present + 1e-6
@@ -192,8 +183,44 @@ def incomplete_random_masks(
     ids_shuffle = jnp.argsort(mask_all.astype(jnp.float32) + 10.0 * absent + tie)
     ids_restore = jnp.argsort(ids_shuffle)
     flags = (jnp.arange(total) >= e_dyn).astype(jnp.int32)
-    mask = jnp.take(flags, ids_restore)
-    mask = jnp.broadcast_to(mask, (batch_size, total))
+    return jnp.take(flags, ids_restore)
+
+
+def incomplete_random_masks(
+    key: jax.Array,
+    task_names: Tuple[str, ...],
+    num_tokens_per_task: Tuple[int, ...],
+    present: jnp.ndarray,  # [T] bool — modalities available this step
+    num_encoded_tokens: int,  # static packing size (>= max possible visible)
+    batch_size: int,
+    keep_ratio: float = 0.9,
+    alphas: float = 1.0,
+    batch_shared: bool = True,
+) -> MaskInfo:
+    """Downstream train-time masking (multimae_big_imcomplete.py:542-594):
+    a random modality subset is chosen per step (`present`, sampled OUTSIDE
+    jit or via `sample_modality_subset`), then keep_ratio of the present
+    tokens stay visible via Dirichlet budgeting. Absent modalities are fully
+    masked; the packed layout pads up to the static num_encoded_tokens.
+
+    ``batch_shared=True`` mirrors the reference quirk (one keep-mask for the
+    whole batch, like multimae_crossattn.py:276-278); ``False`` samples an
+    independent keep-mask per sample (the modality subset stays per-step —
+    the reference samples it in python once per batch, :542-548).
+    """
+    present = present.astype(jnp.float32)
+    if batch_shared:
+        mask = _single_incomplete_mask(
+            key, num_tokens_per_task, present, keep_ratio, alphas
+        )
+        mask = jnp.broadcast_to(mask, (batch_size, mask.shape[0]))
+    else:
+        keys = jax.random.split(key, batch_size)
+        mask = jax.vmap(
+            lambda k: _single_incomplete_mask(
+                k, num_tokens_per_task, present, keep_ratio, alphas
+            )
+        )(keys)
     return mask_info_from_flat_mask(
         mask, task_names, num_tokens_per_task, num_encoded_tokens
     )

@@ -171,6 +171,7 @@ def make_downstream_train_step(
     class_weight: float = 2.0,
     dice_weight: float = 5.0,
     mask_weight: float = 5.0,
+    per_sample_masks: bool = False,  # independent keep-mask per sample
 ):
     w_ce, w_dice, w_mask = loss_weights
     dtype = jnp.dtype(compute_dtype)
@@ -214,6 +215,7 @@ def make_downstream_train_step(
         mask_info = masking.incomplete_random_masks(
             k_mask, in_domains, nums, present, e,
             batch[in_domains[0]].shape[0], keep_ratio=cfg.keep_ratio,
+            batch_shared=not per_sample_masks,
         )
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, targets, mask_info, present, (k_drop, k_crit)

@@ -7,6 +7,7 @@ over the mesh, so the host sees one global value.
 from __future__ import annotations
 
 import json
+import os
 import time
 from collections import defaultdict, deque
 from typing import Dict, Optional
@@ -82,3 +83,45 @@ class MetricLogger:
         stats = {k: m.global_avg for k, m in self.meters.items()}
         stats.update(extra)
         return json.dumps(stats)
+
+
+class WandbLogger:
+    """Experiment-tracker logger (reference utils/logger.py:170-198).
+
+    wandb is optional (and offline environments have no egress): when the
+    package is missing or init fails, metrics fall back to a local
+    ``wandb_fallback.jsonl`` under ``out_dir`` so nothing is lost.
+    """
+
+    def __init__(self, config=None, project: str = "imf-tpu",
+                 entity: str = "", group: str = "", run_name: str = "",
+                 out_dir: str = "."):
+        self.step = 0
+        self._wandb = None
+        self._fallback_path = os.path.join(out_dir, "wandb_fallback.jsonl")
+        try:
+            import wandb  # type: ignore
+
+            wandb.init(config=config, project=project,
+                       entity=entity or None, group=group or None,
+                       name=run_name or None)
+            self._wandb = wandb
+        except Exception:
+            os.makedirs(out_dir, exist_ok=True)
+
+    def set_step(self, step=None):
+        if step is not None:
+            self.step = step
+        else:
+            self.step += 1
+
+    def update(self, metrics: dict):
+        log = {k: float(v) for k, v in metrics.items() if v is not None}
+        if self._wandb is not None:
+            self._wandb.log(log, step=self.step)
+        else:
+            with open(self._fallback_path, "a") as f:
+                f.write(json.dumps({"step": self.step, **log}) + "\n")
+
+    def flush(self):
+        pass

@@ -59,6 +59,12 @@ def get_args():
                         "steps to this directory (SURVEY §5)")
     p.add_argument("--profile_start", type=int, default=10)
     p.add_argument("--profile_steps", type=int, default=3)
+    # experiment tracking (pretrain_mmae.py:159-166); offline envs fall back
+    # to a local jsonl automatically
+    p.add_argument("--log_wandb", action="store_true")
+    p.add_argument("--wandb_entity", type=str, default="")
+    p.add_argument("--wandb_project", type=str, default="imf-tpu")
+    p.add_argument("--wandb_run_name", type=str, default="")
     return p.parse_args()
 
 
@@ -171,6 +177,15 @@ def main():
     state = jax.device_put(state, shard_lib.replicated(mesh))
 
     logger = MetricLogger()
+    wandb_logger = None
+    if args.log_wandb:
+        from incomplete_multimodal_fusion_tpu.utils.logging import WandbLogger
+
+        wandb_logger = WandbLogger(
+            config=dataclasses.asdict(cfg), project=args.wandb_project,
+            entity=args.wandb_entity, run_name=args.wandb_run_name,
+            out_dir=out_dir,
+        )
     log_path = os.path.join(out_dir, "log.txt")
     t_start = time.time()
     for step in range(start_step, total_steps):
@@ -196,6 +211,9 @@ def main():
             if not np.isfinite(vals["recon_loss"]):
                 print(f"Loss is {vals['recon_loss']}, stopping training", flush=True)
                 sys.exit(1)
+            if wandb_logger is not None:
+                wandb_logger.set_step(step)
+                wandb_logger.update(vals)
         if (step + 1) % steps_per_epoch == 0:
             save_freq = cfg.train.save_ckpt_freq
             if (epoch + 1) % save_freq == 0 or step + 1 == total_steps:

@@ -61,6 +61,9 @@ def get_args():
     p.add_argument("--aug", action="store_true",
                    help="train-time geometric augmentation (rotate/scale/"
                         "translate/shear/flip, aug_strategy.py equivalents)")
+    p.add_argument("--per_sample_masks", action="store_true",
+                   help="independent token keep-mask per sample (default "
+                        "mirrors the reference's batch-shared mask)")
     return p.parse_args()
 
 
@@ -250,7 +253,7 @@ def main():
         ds.make_downstream_train_step(
             model, cfg, tx, num_points=args.num_points,
             dense_masks=dense_masks, compute_dtype=args.compute_dtype,
-            match_mode=args.match_mode,
+            match_mode=args.match_mode, per_sample_masks=args.per_sample_masks,
         ),
         donate_argnums=0,
     )

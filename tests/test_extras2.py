@@ -123,3 +123,21 @@ class TestUtils:
         assert any("fc1" in k for k in stats)
         for s in stats.values():
             assert set(s) == {"mean", "std", "absmax"}
+
+
+def test_wandb_logger_fallback(tmp_path):
+    """WandbLogger (logger.py:170-198 equivalent) writes a local jsonl when
+    wandb is unavailable."""
+    import json as _json
+
+    from incomplete_multimodal_fusion_tpu.utils.logging import WandbLogger
+
+    wl = WandbLogger(config={"a": 1}, out_dir=str(tmp_path))
+    wl.set_step(5)
+    wl.update({"loss": 1.5, "skip": None})
+    wl.set_step()
+    wl.update({"loss": 1.25})
+    lines = [_json.loads(l) for l in
+             open(tmp_path / "wandb_fallback.jsonl").read().splitlines()]
+    assert lines[0] == {"step": 5, "loss": 1.5}
+    assert lines[1] == {"step": 6, "loss": 1.25}
