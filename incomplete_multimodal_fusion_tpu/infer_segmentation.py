@@ -196,26 +196,65 @@ def colorize_labels(label_map: np.ndarray, colors: Optional[np.ndarray] = None) 
     return colors[np.clip(np.asarray(label_map), 0, len(colors) - 1)]
 
 
+def _mask_boundary(sel: np.ndarray) -> np.ndarray:
+    """Boundary pixels of a binary mask (mask minus its 4-neighbor erosion)."""
+    er = sel.copy()
+    for ax, sh in ((0, 1), (0, -1), (1, 1), (1, -1)):
+        er &= np.roll(sel, sh, axis=ax)
+    return sel & ~er
+
+
 def overlay_instances(
     image: np.ndarray,  # [H, W, 3] in any range
     instances: Dict[str, "np.ndarray"],
     score_threshold: float = 0.5,
     alpha: float = 0.5,
     colors: Optional[np.ndarray] = None,
+    class_names: Optional[Sequence[str]] = None,
+    draw_labels: bool = True,
 ) -> np.ndarray:
-    """Blend instance masks over an image (minimal stand-in for the vendored
-    detectron2 Visualizer, utils/visualizer.py)."""
+    """Blend instance masks over an image with boundary outlines and
+    "name score%" labels at each mask centroid (the detectron2 Visualizer's
+    draw_instance_predictions role, utils/visualizer.py:1-1243)."""
     colors = DEFAULT_COLORS if colors is None else colors
     img = np.asarray(image, np.float32)
     img = (img - img.min()) / max(img.max() - img.min(), 1e-6) * 255.0
     out = img.copy()
-    keep = np.asarray(instances["scores"]) >= score_threshold
+    scores = np.asarray(instances["scores"])
+    keep = scores >= score_threshold
     masks = np.asarray(instances["pred_masks"])[keep]
+    scores = scores[keep]
+    classes = (np.asarray(instances["pred_classes"])[keep]
+               if "pred_classes" in instances else np.zeros(len(masks), np.int64))
+    labels = []
     for i, m in enumerate(masks):
         color = colors[(i + 1) % len(colors)].astype(np.float32)
         sel = np.asarray(m) > 0.5
+        if not sel.any():
+            continue
         out[sel] = (1 - alpha) * out[sel] + alpha * color
-    return out.astype(np.uint8)
+        out[_mask_boundary(sel)] = color  # solid outline
+        ys, xs = np.nonzero(sel)
+        name = (class_names[int(classes[i])]
+                if class_names is not None and int(classes[i]) < len(class_names)
+                else str(int(classes[i])))
+        labels.append((float(xs.mean()), float(ys.mean()),
+                       f"{name} {scores[i] * 100:.0f}%"))
+    out = out.astype(np.uint8)
+    if draw_labels and labels:
+        try:
+            from PIL import Image, ImageDraw  # type: ignore
+
+            pil = Image.fromarray(out)
+            draw = ImageDraw.Draw(pil)
+            for cx, cy, text in labels:
+                # 1px shadow for contrast on any background
+                draw.text((cx + 1, cy + 1), text, fill=(0, 0, 0))
+                draw.text((cx, cy), text, fill=(255, 255, 255))
+            out = np.asarray(pil)
+        except ImportError:
+            pass  # labels need PIL; the blended overlay still returns
+    return out
 
 
 def save_segmentation_png(label_map: np.ndarray, path: str,

@@ -104,3 +104,124 @@ class TestResNetMaskFormer:
         feats = model.apply(params, x)
         assert [f.shape[1] for f in feats] == [16, 8, 4, 2]
         assert [f.shape[-1] for f in feats] == [256, 512, 1024, 2048]
+
+
+class TestCocoEvaluatorExtended:
+    """Full cocoeval.py table coverage (VERDICT.md Weak #7): bbox IoU type,
+    per-area breakdown, AR@maxDets."""
+
+    def test_bbox_iou_type_perfect(self):
+        from incomplete_multimodal_fusion_tpu.eval.coco_eval import (
+            CocoMaskEvaluator, box_iou, boxes_from_masks,
+        )
+
+        gt = np.zeros((2, 16, 16))
+        gt[0, 2:6, 3:9] = 1
+        gt[1, 8:14, 1:5] = 1
+        bx = boxes_from_masks(gt)
+        np.testing.assert_allclose(bx[0], [3, 2, 9, 6])
+        np.testing.assert_allclose(box_iou(bx, bx), np.eye(2), atol=1e-6)
+        ev = CocoMaskEvaluator(num_classes=1, iou_type="bbox")
+        ev.add_image(gt.copy(), np.asarray([0, 0]), np.asarray([0.9, 0.8]),
+                     gt, np.asarray([0, 0]))
+        assert ev.summarize()["AP"] == pytest.approx(1.0)
+
+    def test_bbox_differs_from_segm(self):
+        """An L-shaped GT vs its bounding box: bbox IoU 1.0, mask IoU < 0.75."""
+        from incomplete_multimodal_fusion_tpu.eval.coco_eval import CocoMaskEvaluator
+
+        gt = np.zeros((1, 16, 16))
+        gt[0, 0:16, 0:4] = 1
+        gt[0, 12:16, 0:16] = 1  # L shape
+        pred = np.zeros((1, 16, 16))
+        pred[0, 0:16, 0:16] = 1  # its bounding box
+        for iou_type, expect_ap75 in (("bbox", 1.0), ("segm", 0.0)):
+            ev = CocoMaskEvaluator(num_classes=1, iou_type=iou_type)
+            ev.add_image(pred, np.asarray([0]), np.asarray([0.9]),
+                         gt, np.asarray([0]))
+            assert ev.summarize()["AP75"] == pytest.approx(expect_ap75), iou_type
+
+    def test_area_breakdown(self):
+        """A small (<32^2) and a large (>96^2) object: only the small one is
+        predicted, so AP_small = 1 and AP_large = 0."""
+        from incomplete_multimodal_fusion_tpu.eval.coco_eval import CocoMaskEvaluator
+
+        h = w = 128
+        gt = np.zeros((2, h, w))
+        gt[0, :8, :8] = 1          # area 64 -> small
+        gt[1, 10:110, 10:110] = 1  # area 10000 -> large
+        pred = gt[:1]
+        ev = CocoMaskEvaluator(num_classes=1)
+        ev.add_image(pred, np.asarray([0]), np.asarray([0.9]),
+                     gt, np.asarray([0, 0]))
+        s = ev.summarize()
+        assert s["AP_small"] == pytest.approx(1.0)
+        assert s["AP_large"] == pytest.approx(0.0)
+        assert s["AP"] == pytest.approx(0.5, abs=0.01)
+
+    def test_ar_maxdets(self):
+        """3 GT objects, correct preds ranked below a junk det: AR@1 sees
+        only the junk (recall 0), AR@10 recovers all three."""
+        from incomplete_multimodal_fusion_tpu.eval.coco_eval import CocoMaskEvaluator
+
+        gt = np.zeros((3, 32, 32))
+        gt[0, :8, :8] = 1
+        gt[1, 12:20, 12:20] = 1
+        gt[2, 24:32, 24:32] = 1
+        junk = np.zeros((1, 32, 32))
+        junk[0, :2, 30:] = 1
+        preds = np.concatenate([junk, gt])
+        ev = CocoMaskEvaluator(num_classes=1)
+        ev.add_image(preds, np.zeros(4, np.int64),
+                     np.asarray([0.99, 0.9, 0.8, 0.7]),
+                     gt, np.zeros(3, np.int64))
+        s = ev.summarize()
+        assert s["AR@1"] == pytest.approx(0.0)
+        assert s["AR@10"] == pytest.approx(1.0)
+
+    def test_matched_to_out_of_range_gt_not_fp(self):
+        """A det matching a large GT is IGNORED (not an FP) in the small-area
+        sweep, so the small object's AP_small stays 1.0 even though the
+        large det outscores it."""
+        from incomplete_multimodal_fusion_tpu.eval.coco_eval import CocoMaskEvaluator
+
+        h = w = 128
+        gt = np.zeros((2, h, w))
+        gt[0, :8, :8] = 1
+        gt[1, 10:110, 10:110] = 1
+        ev = CocoMaskEvaluator(num_classes=1)
+        ev.add_image(gt.copy(), np.asarray([0, 0]), np.asarray([0.5, 0.9]),
+                     gt, np.asarray([0, 0]))
+        assert ev.summarize()["AP_small"] == pytest.approx(1.0)
+
+    def test_json_has_bbox(self):
+        from incomplete_multimodal_fusion_tpu.eval.coco_eval import (
+            predictions_to_coco_json,
+        )
+
+        m = np.zeros((1, 8, 8), bool)
+        m[0, 2:5, 1:4] = True
+        res = predictions_to_coco_json(
+            [7], [{"pred_masks": m, "pred_classes": np.asarray([0]),
+                   "scores": np.asarray([0.7])}])
+        assert res[0]["bbox"] == [1.0, 2.0, 3.0, 3.0]
+
+
+def test_overlay_labels_and_outline():
+    """Visualizer parity slice: outlines + class-name/score labels
+    (utils/visualizer.py draw_instance_predictions role)."""
+    from incomplete_multimodal_fusion_tpu.infer_segmentation import (
+        overlay_instances,
+    )
+
+    img = np.zeros((48, 48, 3), np.float32)
+    masks = np.zeros((1, 48, 48), np.float32)
+    masks[0, 10:30, 10:30] = 1
+    inst = {"pred_masks": masks, "scores": np.asarray([0.9]),
+            "pred_classes": np.asarray([1])}
+    out = overlay_instances(img, inst, class_names=["bg", "building"])
+    assert out.shape == (48, 48, 3) and out.dtype == np.uint8
+    assert out[20, 20].any()          # filled interior
+    assert (out[10, 20] != out[5, 5]).any()  # outline differs from bg
+    plain = overlay_instances(img, inst, draw_labels=False)
+    assert (out != plain).any()       # label text rendered somewhere
