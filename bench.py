@@ -1,4 +1,7 @@
-"""Benchmark: S1+S2 MultiMAE pretrain step throughput (patches/sec/chip).
+"""Benchmark: S1+S2 MultiMAE pretrain step throughput (patches/sec/chip),
+plus the two companion metrics BASELINE.json names — p50 infer tile latency
+and downstream MaskFormer train-step throughput — and the PyTorch-reference
+anchor recorded in REFERENCE_TIMING.json.
 
 Mirrors the reference two-modality pretraining configuration
 (pretrain_mmae.py defaults: tiny 192d/12L encoder, 256^2 inputs, patch 16,
@@ -9,7 +12,8 @@ The reference publishes no benchmark numbers (BASELINE.md: `published: {}`),
 so `vs_baseline` is reported against a frozen round-1 self-baseline stored in
 BENCH_BASELINE.json — later rounds show speedup over this round's number.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Output: extra metrics print first, each as its own JSON line; the PRIMARY
+metric {"metric", "value", "unit", "vs_baseline"} prints LAST.
 """
 from __future__ import annotations
 
@@ -22,7 +26,99 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
+ROOT = os.path.dirname(os.path.abspath(__file__))
+BASELINE_FILE = os.path.join(ROOT, "BENCH_BASELINE.json")
+REF_TIMING_FILE = os.path.join(ROOT, "REFERENCE_TIMING.json")
+
+
+def bench_infer_latency():
+    """p50 single-tile infer latency (BASELINE.json:2 'p50 infer_mmae tile
+    latency'): batch-1 full forward of the flagship, seeded random masks,
+    num_encoded_tokens=256 (infer_mmae.py:330-338 defaults)."""
+    from incomplete_multimodal_fusion_tpu.config import PretrainConfig
+    from incomplete_multimodal_fusion_tpu.models.multimae import build_multimae
+    from incomplete_multimodal_fusion_tpu.ops import masking
+    from incomplete_multimodal_fusion_tpu.train import pretrain
+
+    cfg = PretrainConfig()
+    model = build_multimae(cfg)
+    params = pretrain.cast_tree(
+        pretrain.init_model(model, cfg, jax.random.PRNGKey(0)), jnp.bfloat16
+    )
+    doms = tuple(cfg.data.in_domains)
+    n = cfg.data.num_patches
+    e = 256
+    x = {
+        d: jnp.zeros((1, 256, 256, {"s1": 1, "s2": 3, "dem": 1}[d]), jnp.bfloat16)
+        for d in doms
+    }
+    mi = masking.generate_random_masks(
+        jax.random.PRNGKey(1), doms, (n,) * len(doms), e, 1
+    )
+
+    @jax.jit
+    def fwd(params, x, mi):
+        out = model.apply({"params": params}, x, mi, e)
+        return out["preds"]
+
+    preds = fwd(params, x, mi)
+    jax.tree.map(lambda a: a.block_until_ready(), preds)
+    lat = []
+    for _ in range(30):
+        t0 = time.perf_counter()
+        preds = fwd(params, x, mi)
+        float(preds[doms[0]].sum())  # hard sync through the tunnel
+        lat.append(time.perf_counter() - t0)
+    return float(np.percentile(lat, 50) * 1e3)
+
+
+def bench_downstream_step():
+    """Downstream MaskFormer train-step throughput (imgs/sec/chip): flagship
+    incomplete-fusion ViT backbone + MSDA pixel decoder + Mask2Former head,
+    batch 30 (Base-segmention.yaml:48), on-device auction matching."""
+    from incomplete_multimodal_fusion_tpu.losses.set_criterion import SegTargets
+    from incomplete_multimodal_fusion_tpu.models.maskformer import (
+        MaskFormerConfig, MaskFormerModel,
+    )
+    from incomplete_multimodal_fusion_tpu.train import downstream as ds
+
+    b = 30
+    cfg = MaskFormerConfig()
+    model = MaskFormerModel(cfg)
+    batch = {
+        d: jnp.zeros((b, 256, 256, c), jnp.float32)
+        for d, c in (("s1", 1), ("s2", 3), ("dem", 1))
+    }
+    g = 8
+    masks = np.zeros((b, g, 256, 256), np.float32)
+    masks[:, 0, :128, :128] = 1
+    masks[:, 1, 128:, 128:] = 1
+    labels = np.full((b, g), -1, np.int32)
+    labels[:, :2] = 0
+    valid = np.zeros((b, g), bool)
+    valid[:, :2] = True
+    targets = SegTargets(jnp.asarray(labels), jnp.asarray(masks), jnp.asarray(valid))
+
+    params = model.init(jax.random.PRNGKey(0), batch)["params"]
+    tx = ds.create_downstream_optimizer(params, lr=1e-4, clip_grad=0.01)
+    state = ds.DownstreamState(
+        step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params),
+        rng=jax.random.PRNGKey(0),
+    )
+    step = jax.jit(
+        ds.make_downstream_train_step(model, cfg, tx, match_mode="auction"),
+        donate_argnums=0,
+    )
+    for _ in range(2):
+        state, m = step(state, batch, targets)
+    float(m["loss"])
+    n_steps = 10
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, m = step(state, batch, targets)
+    float(m["loss"])
+    dt = time.perf_counter() - t0
+    return n_steps * b / dt
 
 
 def main():
@@ -70,6 +166,38 @@ def main():
 
     steps_per_sec = n_steps / dt
     patches_per_sec = steps_per_sec * b * patches_per_sample
+
+    # ---- companion metrics (VERDICT #3): extra JSON lines, primary last ----
+    try:
+        p50_ms = bench_infer_latency()
+        print(json.dumps({
+            "metric": "infer_tile_latency_p50", "value": round(p50_ms, 2),
+            "unit": "ms",
+        }))
+    except Exception as exc:  # never block the primary metric
+        print(json.dumps({"metric": "infer_tile_latency_p50", "error": str(exc)[:200]}))
+    try:
+        imgs_per_sec = bench_downstream_step()
+        print(json.dumps({
+            "metric": "maskformer_train_step_throughput",
+            "value": round(imgs_per_sec, 2), "unit": "imgs/sec/chip",
+        }))
+    except Exception as exc:
+        print(json.dumps({"metric": "maskformer_train_step_throughput",
+                          "error": str(exc)[:200]}))
+    if os.path.exists(REF_TIMING_FILE):
+        with open(REF_TIMING_FILE) as f:
+            ref = json.load(f)
+        ref_pps = ref.get("torch_reference_cpu", {}).get("patches_per_sec")
+        if ref_pps:
+            # 3-modality anchor (768 patches/sample) vs this 2-modality run
+            # (512) — compare in patches/sec, hardware caveat documented in
+            # REFERENCE_TIMING.json / BASELINE.md
+            print(json.dumps({
+                "metric": "vs_pytorch_reference_cpu_anchor",
+                "value": round(patches_per_sec / ref_pps, 1),
+                "unit": "x (TPU chip vs same-host torch-CPU, patches/sec)",
+            }))
 
     vs_baseline = 1.0
     if os.path.exists(BASELINE_FILE):

@@ -87,3 +87,49 @@ def test_model_pallas_vs_xla_forward():
     np.testing.assert_allclose(
         np.asarray(o_xla["pooled"]), np.asarray(o_pl["pooled"]), atol=1e-4
     )
+
+def _force_tiled(monkeypatch, tq=32):
+    """Route small-N inputs through the q-tiled kernels (production cutover
+    is N > MAX_SLAB_TOKENS with 128 | N; interpret-mode tests use tiny N)."""
+    from incomplete_multimodal_fusion_tpu.ops import pallas_attn as pa
+    monkeypatch.setattr(pa, "MAX_SLAB_TOKENS", 8)
+    monkeypatch.setattr(pa, "_q_tile", lambda n: tq if n % tq == 0 and n // tq >= 2 else 0)
+
+
+def test_tiled_forward_parity(monkeypatch):
+    _force_tiled(monkeypatch)
+    q, k, v, types = make_inputs(4, 2, 64, 2, 8)
+    out_pl = zorro_self_attention(q, k, v, types, 3)
+    out_ref = xla_reference(q, k, v, types, 3)
+    np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_ref), atol=2e-5)
+
+
+def test_tiled_gradient_parity(monkeypatch):
+    """Tiled custom VJP (dk/dv accumulated across q tiles in scratch) vs XLA
+    autodiff."""
+    _force_tiled(monkeypatch)
+    q, k, v, types = make_inputs(5, 2, 64, 2, 8)
+
+    def loss_pl(q, k, v):
+        return jnp.sum(jnp.sin(zorro_self_attention(q, k, v, types, 3)))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.sin(xla_reference(q, k, v, types, 3)))
+
+    g_pl = jax.grad(loss_pl, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_pl, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=3e-5)
+
+
+def test_pallas_supported_covers_quadruplet():
+    """VERDICT weak #3: N=1280 (quadruplet pretrain) and N=1024 (3-modality
+    full-visible inference) must stay on the Pallas path; odd small N and
+    huge N still fall back."""
+    from incomplete_multimodal_fusion_tpu.ops import pallas_attn as pa
+    assert pa.pallas_supported(640)
+    assert pa.pallas_supported(1024)
+    assert pa.pallas_supported(1280)  # 4-mod quadruplet: E+F = 1024+256
+    assert pa.pallas_supported(2048)
+    assert not pa.pallas_supported(1283)  # not 128-aligned, too big for slab
+    assert not pa.pallas_supported(8192)
