@@ -167,24 +167,37 @@ def main():
     steps_per_sec = n_steps / dt
     patches_per_sec = steps_per_sec * b * patches_per_sample
 
-    # ---- companion metrics (VERDICT #3): extra JSON lines, primary last ----
+    # ---- companion metrics (VERDICT #3): extra JSON lines, primary last.
+    # Each is wall-clock-budgeted: remote compiles through the axon tunnel
+    # can take minutes on a bad day, and the primary metric must never be
+    # starved. All metrics are also persisted to BENCH_EXTRA.json so a
+    # truncated stdout still leaves a record.
+    t_start = time.perf_counter()
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "420"))
+    extras = {}
+
+    def emit(rec):
+        print(json.dumps(rec))
+        extras[rec["metric"]] = rec
+
     try:
         p50_ms = bench_infer_latency()
-        print(json.dumps({
-            "metric": "infer_tile_latency_p50", "value": round(p50_ms, 2),
-            "unit": "ms",
-        }))
+        emit({"metric": "infer_tile_latency_p50", "value": round(p50_ms, 2),
+              "unit": "ms"})
     except Exception as exc:  # never block the primary metric
-        print(json.dumps({"metric": "infer_tile_latency_p50", "error": str(exc)[:200]}))
-    try:
-        imgs_per_sec = bench_downstream_step()
-        print(json.dumps({
-            "metric": "maskformer_train_step_throughput",
-            "value": round(imgs_per_sec, 2), "unit": "imgs/sec/chip",
-        }))
-    except Exception as exc:
-        print(json.dumps({"metric": "maskformer_train_step_throughput",
-                          "error": str(exc)[:200]}))
+        emit({"metric": "infer_tile_latency_p50", "error": str(exc)[:200]})
+    if time.perf_counter() - t_start < budget_s:
+        try:
+            imgs_per_sec = bench_downstream_step()
+            emit({"metric": "maskformer_train_step_throughput",
+                  "value": round(imgs_per_sec, 2), "unit": "imgs/sec/chip"})
+        except Exception as exc:
+            emit({"metric": "maskformer_train_step_throughput",
+                  "error": str(exc)[:200]})
+    else:
+        emit({"metric": "maskformer_train_step_throughput",
+              "error": f"skipped: bench wall budget {budget_s}s exhausted "
+                       "(slow remote compile); see a prior BENCH_EXTRA.json"})
     if os.path.exists(REF_TIMING_FILE):
         with open(REF_TIMING_FILE) as f:
             ref = json.load(f)
@@ -193,11 +206,16 @@ def main():
             # 3-modality anchor (768 patches/sample) vs this 2-modality run
             # (512) — compare in patches/sec, hardware caveat documented in
             # REFERENCE_TIMING.json / BASELINE.md
-            print(json.dumps({
+            emit({
                 "metric": "vs_pytorch_reference_cpu_anchor",
                 "value": round(patches_per_sec / ref_pps, 1),
                 "unit": "x (TPU chip vs same-host torch-CPU, patches/sec)",
-            }))
+            })
+    try:
+        with open(os.path.join(ROOT, "BENCH_EXTRA.json"), "w") as f:
+            json.dump(extras, f, indent=2)
+    except OSError:
+        pass
 
     vs_baseline = 1.0
     if os.path.exists(BASELINE_FILE):

@@ -228,7 +228,8 @@ class SpatialOutputAdapter(nn.Module):
         return max(1, self.patch_size // self.stride_level)
 
     @nn.compact
-    def __call__(self, encoder_tokens: jnp.ndarray, image_size: Optional[Tuple[int, int]] = None):
+    def __call__(self, encoder_tokens: jnp.ndarray, image_size: Optional[Tuple[int, int]] = None,
+                 use_pallas=False):
         h, w = image_size or (self.image_size, self.image_size)
         p = self.p
         n_h = h // (self.stride_level * p)
@@ -242,7 +243,7 @@ class SpatialOutputAdapter(nn.Module):
         for i in range(self.depth):
             x = ViTBlock(
                 num_heads=self.num_heads, qkv_bias=self.qkv_bias, norm_eps=1e-6, name=f"block{i}"
-            )(x)
+            )(x, use_pallas=use_pallas)
         x = nn.Dense(
             self.num_channels * p * p,
             kernel_init=nn.initializers.xavier_uniform(),

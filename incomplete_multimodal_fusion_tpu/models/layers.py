@@ -74,49 +74,115 @@ def gelu(x):
     return jax.nn.gelu(x, approximate=False)
 
 
+class _DenseParams(nn.Module):
+    """kernel+bias param holder with nn.Dense-compatible paths/init."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.xavier_uniform(),
+                       (self.in_features, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
 class Mlp(nn.Module):
-    """fc1 -> GELU -> fc2 (multimae_utils.py:138-155; dropout elided, p=0)."""
+    """fc1 -> GELU -> fc2 (multimae_utils.py:138-155; dropout elided, p=0).
+
+    On TPU with ``use_pallas`` the pair of matmuls + GELU runs as one fused
+    Pallas kernel (ops/pallas_ffn.mlp_ffn) — the [M, hidden] activation never
+    round-trips HBM. Param paths (fc1/kernel, fc1/bias, ...) unchanged.
+    """
 
     hidden_features: Optional[int] = None
     out_features: Optional[int] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, use_pallas=False):
+        from ..ops.pallas_ffn import mlp_ffn, mlp_ffn_auto, mlp_supported
+
         dim = x.shape[-1]
         hidden = self.hidden_features or dim
         out = self.out_features or dim
-        x = nn.Dense(hidden, kernel_init=nn.initializers.xavier_uniform(), name="fc1")(x)
+        k1, b1 = _DenseParams(dim, hidden, name="fc1")()
+        k2, b2 = _DenseParams(hidden, out, name="fc2")()
+
+        m = 1
+        for s in x.shape[:-1]:
+            m *= s
+        if use_pallas and mlp_supported(m, hidden):
+            fn = mlp_ffn_auto if use_pallas == "auto" else mlp_ffn
+            y = fn(x.reshape(m, dim), k1.astype(x.dtype),
+                   b1[None].astype(x.dtype), k2.astype(x.dtype),
+                   b2[None].astype(x.dtype))
+            return y.reshape(*x.shape[:-1], out)
+
+        x = x @ k1.astype(x.dtype) + b1.astype(x.dtype)
         x = gelu(x)
-        x = nn.Dense(out, kernel_init=nn.initializers.xavier_uniform(), name="fc2")(x)
-        return x
+        return x @ k2.astype(x.dtype) + b2.astype(x.dtype)
+
+
+class _Param(nn.Module):
+    """Single-parameter holder used to keep checkpoint paths identical while
+    the math runs in a fused kernel (e.g. ``norm/gamma`` without invoking
+    BiaslessLayerNorm)."""
+
+    pname: str
+    shape: tuple
+    init: Callable
+
+    @nn.compact
+    def __call__(self):
+        return self.param(self.pname, self.init, self.shape)
 
 
 class GEGLUFeedForward(nn.Module):
     """LayerNorm -> Dense(2*inner, no bias) -> GEGLU -> Dense(dim, no bias)
-    with inner = int(dim * mult * 2/3) (zorro_utils.py:115-128)."""
+    with inner = int(dim * mult * 2/3) (zorro_utils.py:115-128).
+
+    The whole FF runs as one fused Pallas kernel on TPU (``use_pallas``
+    True/'auto'): the [M, 2*inner] activation never round-trips HBM. Param
+    paths (norm/gamma, proj_in/kernel, proj_out/kernel) are unchanged, so
+    checkpoints interchange with the unfused layout.
+    """
 
     mult: int = 4
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, use_pallas=False):
+        from ..ops.pallas_ffn import ffn_supported, geglu_ffn, geglu_ffn_auto
+
         dim = x.shape[-1]
         inner = int(dim * self.mult * 2 / 3)
-        x = BiaslessLayerNorm(name="norm")(x)
-        x = nn.Dense(
-            inner * 2,
-            use_bias=False,
-            kernel_init=nn.initializers.xavier_uniform(),
-            name="proj_in",
-        )(x)
-        val, gate = jnp.split(x, 2, axis=-1)
-        x = gelu(gate) * val
-        x = nn.Dense(
-            dim,
-            use_bias=False,
-            kernel_init=nn.initializers.xavier_uniform(),
-            name="proj_out",
-        )(x)
-        return x
+        gamma = _Param(pname="gamma", shape=(dim,),
+                       init=nn.initializers.ones, name="norm")()
+        k_in = _Param(pname="kernel", shape=(dim, inner * 2),
+                      init=nn.initializers.xavier_uniform(), name="proj_in")()
+        k_out = _Param(pname="kernel", shape=(inner, dim),
+                       init=nn.initializers.xavier_uniform(), name="proj_out")()
+
+        m = 1
+        for s in x.shape[:-1]:
+            m *= s
+        if use_pallas and ffn_supported(m, dim, inner):
+            x2 = x.reshape(m, dim)
+            fn = geglu_ffn_auto if use_pallas == "auto" else geglu_ffn
+            y = fn(x2, gamma[None].astype(x.dtype),
+                   k_in.astype(x.dtype), k_out.astype(x.dtype))
+            return y.reshape(x.shape)
+
+        # unfused fallback on the same raw params (BiaslessLayerNorm math)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        xn = ((xf - mean) * jax.lax.rsqrt(var + 1e-5)
+              * gamma.astype(jnp.float32)).astype(x.dtype)
+        h = xn @ k_in.astype(x.dtype)
+        val, gate = jnp.split(h, 2, axis=-1)
+        h = gelu(gate) * val
+        return h @ k_out.astype(x.dtype)
 
 
 class ZorroAttention(nn.Module):
@@ -203,7 +269,9 @@ class EncoderBlock(nn.Module):
             packed_types=packed_types, fusion_type=fusion_type, use_pallas=use_pallas,
         )
         x = x + DropPath(self.drop_path, name="dp1")(h, deterministic)
-        h = GEGLUFeedForward(mult=self.ff_mult, name="mlp")(BiaslessLayerNorm(name="norm2")(x))
+        h = GEGLUFeedForward(mult=self.ff_mult, name="mlp")(
+            BiaslessLayerNorm(name="norm2")(x), use_pallas=use_pallas
+        )
         x = x + DropPath(self.drop_path, name="dp2")(h, deterministic)
         return x
 
@@ -275,7 +343,8 @@ class FusionBlockFast(nn.Module):
     ff_mult: int = 4
 
     @nn.compact
-    def __call__(self, packed, fusion, mask_emb, onehot, use, plane_valid=None):
+    def __call__(self, packed, fusion, mask_emb, onehot, use, plane_valid=None,
+                 use_pallas=False):
         """packed [B,E,D]; fusion [B,F,D]; mask_emb [1,F,D];
         onehot [B,T*F,E]; use [B,T*F] bool; plane_valid [T+1] bool or None."""
         b, e, d_model = packed.shape
@@ -327,20 +396,26 @@ class FusionBlockFast(nn.Module):
 
         fus = fusion + out
         fus = fus + GEGLUFeedForward(mult=self.ff_mult, name="mlp")(
-            BiaslessLayerNorm(name="norm2")(fus)
+            BiaslessLayerNorm(name="norm2")(fus), use_pallas=use_pallas
         )
         return fus
 
 
 class ViTSelfAttention(nn.Module):
     """Fused-QKV self-attention (multimae_utils.py:158-182), used by the
-    reconstruction decoder transformer."""
+    reconstruction decoder transformer.
+
+    (A Pallas routing of this attention was measured and reverted: at
+    n=256/dh=32 the per-(batch,head) program overhead loses to XLA by
+    ~1.5 ms/step.)
+    """
 
     num_heads: int = 8
     qkv_bias: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, use_pallas=False):
+        del use_pallas  # kept for call-site stability; XLA wins at this size
         b, n, c = x.shape
         hd = c // self.num_heads
         qkv = nn.Dense(
@@ -365,12 +440,12 @@ class ViTBlock(nn.Module):
     norm_eps: float = 1e-6
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, use_pallas=False):
         x = x + ViTSelfAttention(self.num_heads, self.qkv_bias, name="attn")(
-            LayerNorm(eps=self.norm_eps, name="norm1")(x)
+            LayerNorm(eps=self.norm_eps, name="norm1")(x), use_pallas=use_pallas
         )
         x = x + Mlp(int(x.shape[-1] * self.mlp_ratio), name="mlp")(
-            LayerNorm(eps=self.norm_eps, name="norm2")(x)
+            LayerNorm(eps=self.norm_eps, name="norm2")(x), use_pallas=use_pallas
         )
         return x
 

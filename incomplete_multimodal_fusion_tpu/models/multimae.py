@@ -262,7 +262,8 @@ class MultiMAE(nn.Module):
         for i, blk in enumerate(self.blocks):
             if self.fusion_mode == "crossattn":
                 fusion_new = self.fus_blocks[i](
-                    tokens[:, :e, :], tokens[:, e:, :], mask_emb, onehot, use
+                    tokens[:, :e, :], tokens[:, e:, :], mask_emb, onehot, use,
+                    use_pallas=use_pallas,
                 )
                 tokens = jnp.concatenate([tokens[:, :e, :], fusion_new], axis=1)
             tokens = blk(
@@ -296,7 +297,9 @@ class MultiMAE(nn.Module):
             }
         else:
             preds = {
-                d: self.output_adapters[d](encoder_fusion_tokens)
+                d: self.output_adapters[d](
+                    encoder_fusion_tokens, use_pallas=use_pallas
+                )
                 for d in self.out_domains
             }
 

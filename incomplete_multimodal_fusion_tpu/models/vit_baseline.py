@@ -280,7 +280,7 @@ class ViTBaseline(nn.Module):
                 tokens = jnp.concatenate([tokens[:, :e, :], fus_inj], axis=1)
             fusion_new = self.fus_blocks[i](
                 tokens[:, :e, :], tokens[:, e:, :], mask_emb, onehot, use,
-                plane_valid=plane_valid,
+                plane_valid=plane_valid, use_pallas=use_pallas,
             )
             tokens = jnp.concatenate([tokens[:, :e, :], fusion_new], axis=1)
             tokens = blk(
