@@ -201,7 +201,9 @@ class ZorroAttention(nn.Module):
                  fusion_type=None, use_pallas=False):
         from ..ops.attention import zorro_mask_from_padded_types
         from ..ops.pallas_attn import (
-            PAD_TYPE, zorro_self_attention, zorro_self_attention_auto,
+            PAD_TYPE, packed_supported, zorro_self_attention,
+            zorro_self_attention_auto, zorro_self_attention_packed,
+            zorro_self_attention_packed_auto,
         )
 
         inner = self.dim_head * self.heads
@@ -216,21 +218,32 @@ class ZorroAttention(nn.Module):
 
         if packed_types is not None and context is None and use_pallas:
             # use_pallas: True = force the kernel; "auto" = resolved per
-            # lowering platform (Pallas on TPU, XLA mask elsewhere)
-            fn = (zorro_self_attention_auto if use_pallas == "auto"
-                  else zorro_self_attention)
-            out = fn(
-                heads_split(q), heads_split(k), heads_split(v),
-                packed_types, fusion_type,
-            )
-        else:
-            if packed_types is not None and attn_mask is None:
-                attn_mask = zorro_mask_from_padded_types(
-                    packed_types, fusion_type, PAD_TYPE
-                )[:, None]
-            out = multihead_attention(
-                heads_split(q), heads_split(k), heads_split(v), mask=attn_mask
-            )
+            # lowering platform (Pallas on TPU, XLA mask elsewhere).
+            # Slab sizes use the packed-layout kernel (q/k/v stay
+            # [B, N, inner] — no XLA-side head transposes); the q-tiled
+            # flash kernels for larger N keep the [B*H, N, dh] layout.
+            if packed_supported(q.shape[1]):
+                fn = (zorro_self_attention_packed_auto if use_pallas == "auto"
+                      else zorro_self_attention_packed)
+                out2d = fn(q, k, v, packed_types, self.heads, fusion_type)
+            else:
+                fn = (zorro_self_attention_auto if use_pallas == "auto"
+                      else zorro_self_attention)
+                out2d = fn(
+                    heads_split(q), heads_split(k), heads_split(v),
+                    packed_types, fusion_type,
+                ).reshape(q.shape[0], q.shape[1], inner)
+            return nn.Dense(
+                x.shape[-1], use_bias=False,
+                kernel_init=nn.initializers.xavier_uniform(), name="to_out"
+            )(out2d)
+        if packed_types is not None and attn_mask is None:
+            attn_mask = zorro_mask_from_padded_types(
+                packed_types, fusion_type, PAD_TYPE
+            )[:, None]
+        out = multihead_attention(
+            heads_split(q), heads_split(k), heads_split(v), mask=attn_mask
+        )
         out = out.reshape(*out.shape[:-2], inner)
         return nn.Dense(
             x.shape[-1], use_bias=False, kernel_init=nn.initializers.xavier_uniform(), name="to_out"

@@ -133,3 +133,29 @@ def test_pallas_supported_covers_quadruplet():
     assert pa.pallas_supported(2048)
     assert not pa.pallas_supported(1283)  # not 128-aligned, too big for slab
     assert not pa.pallas_supported(8192)
+
+
+def test_packed_forward_and_grad_parity():
+    """Packed-layout kernel ([B,N,inner], no head transposes) vs XLA."""
+    from incomplete_multimodal_fusion_tpu.ops.pallas_attn import (
+        zorro_self_attention_packed,
+    )
+    b, n, h, dh = 2, 48, 2, 8
+    q, k, v, types = make_inputs(7, b, n, h, dh)
+    q2, k2, v2 = (t.reshape(b, n, h * dh) for t in (q, k, v))
+
+    def loss_pl(q2, k2, v2):
+        return jnp.sum(jnp.sin(zorro_self_attention_packed(q2, k2, v2, types, h, 3)))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.sin(xla_reference(q, k, v, types, 3)))
+
+    out = zorro_self_attention_packed(q2, k2, v2, types, h, 3)
+    ref = xla_reference(q, k, v, types, 3).reshape(b, n, h * dh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    g_pl = jax.grad(loss_pl, argnums=(0, 1, 2))(q2, k2, v2)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_pl, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_).reshape(a.shape), atol=3e-5)
