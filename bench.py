@@ -212,9 +212,22 @@ def main():
                 "unit": "x (TPU chip vs same-host torch-CPU, patches/sec)",
             })
     try:
-        with open(os.path.join(ROOT, "BENCH_EXTRA.json"), "w") as f:
-            json.dump(extras, f, indent=2)
-    except OSError:
+        extra_path = os.path.join(ROOT, "BENCH_EXTRA.json")
+        merged = {}
+        if os.path.exists(extra_path):
+            with open(extra_path) as f:
+                merged = json.load(f)
+        for k, rec in extras.items():
+            if "value" in rec:
+                merged[k] = rec
+            elif k not in merged or "value" not in merged.get(k, {}):
+                merged[k] = rec
+            else:
+                # keep the last successful measurement, note the stale skip
+                merged[k]["stale_note"] = rec.get("error", "")[:120]
+        with open(extra_path, "w") as f:
+            json.dump(merged, f, indent=2)
+    except (OSError, ValueError):
         pass
 
     vs_baseline = 1.0

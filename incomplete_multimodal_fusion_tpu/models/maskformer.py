@@ -56,11 +56,13 @@ class MaskFormerConfig:
 
     @property
     def max_encoded_tokens(self) -> int:
-        """Static packed size: ceil(keep_ratio * all tokens), 64-aligned,
-        clamped to the total token count."""
+        """Static packed size: ceil(keep_ratio * all tokens), 128-aligned
+        (so E + num_fusion_tokens hits the Pallas q-tiled attention path —
+        non-128-multiple lengths have no legal q-tile), clamped to the total
+        token count."""
         total = self.num_patches * len(self.in_domains)
         e = int(self.keep_ratio * total)
-        return min(((e + 63) // 64) * 64, total)
+        return min(((e + 127) // 128) * 128, total)
 
 
 class MaskFormerModel(nn.Module):

@@ -45,11 +45,12 @@ MAX_PALLAS_TOKENS = 4096
 
 
 def _q_tile(n: int) -> int:
-    """Largest q-tile dividing n (0 if none): the tile is the block's
-    sublane dim so it only needs 8-divisibility (the lane dim is dh);
-    prefer MXU-friendly 128-multiples, else any /8 divisor >= 64 (covers
-    e.g. N=960, the downstream backbone's 704+256 packed length)."""
-    for tq in (512, 384, 256, 128, 480, 320, 192, 96, 64):
+    """Largest 128-multiple q-tile dividing n (0 if none divides).
+    Non-128-multiple tiles (e.g. 480 for N=960) CRASH the Mosaic compiler
+    (tpu_compile_helper exit 1, verified on-device), so callers with odd
+    lengths must pad N to a 128 multiple instead — MaskFormerConfig rounds
+    its packed capacity to 128 for exactly this reason."""
+    for tq in (512, 384, 256, 128):
         if n % tq == 0 and n // tq >= 2:
             return tq
     return 0

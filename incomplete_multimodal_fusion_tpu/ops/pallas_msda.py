@@ -133,9 +133,13 @@ def _interpret() -> bool:
 
 
 def _lq_tile(hw: int, p: int) -> int:
-    """Query-tile size: keep the [rows, hw] f32 planes within ~2 MB each."""
-    rows_budget = max(256, min(512, (2 * 1024 * 1024) // (4 * max(hw, 1))))
-    return max(8, rows_budget // p)
+    """Query-tile size: keep each [rows, hw] f32 plane within ~1 MB. The
+    BACKWARD kernel holds ~8 such planes (yy/xx/hy/hx/wts/dw + grads); the
+    old 2 MB budget with a 256-row floor hit the 16 MB scoped-VMEM limit at
+    the (64, 64) pyramid level (16.45 MB, tpu_compile_helper OOM — verified
+    on-device at the batch-30 downstream step)."""
+    rows_budget = max(8, min(512, (1024 * 1024) // (4 * max(hw, 1))))
+    return max(2, rows_budget // p)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
