@@ -44,17 +44,27 @@ def point_sample(masks: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     """masks [N, H, W], coords [N, P, 2] in [0,1] (x, y) -> [N, P].
 
     Equivalent to detectron2 point_sample(align_corners=False): grid_sample
-    of 2*coords-1.
+    of 2*coords-1. On TPU this routes to the separable hat-matmul Pallas
+    kernel (ops/pallas_points.py) — the gather formulation cost ~600 ms per
+    call at PointRend sizes and made the downstream step 14.3 s; the kernel
+    takes it to MXU speed.
     """
-    n, h, w = masks.shape
-    gx = 2.0 * coords[..., 0] - 1.0
-    gy = 2.0 * coords[..., 1] - 1.0
-    px = ((gx + 1.0) * w - 1.0) / 2.0
-    py = ((gy + 1.0) * h - 1.0) / 2.0
-    out = jax.vmap(lambda m, x, y: bilinear_sample(m[..., None], x, y)[..., 0])(
-        masks, px, py
+    from ..ops.pallas_points import point_sample_pallas
+
+    def xla_path(masks, coords):
+        n, h, w = masks.shape
+        gx = 2.0 * coords[..., 0] - 1.0
+        gy = 2.0 * coords[..., 1] - 1.0
+        px = ((gx + 1.0) * w - 1.0) / 2.0
+        py = ((gy + 1.0) * h - 1.0) / 2.0
+        out = jax.vmap(
+            lambda m, x, y: bilinear_sample(m[..., None], x, y)[..., 0]
+        )(masks, px, py)
+        return out.astype(jnp.float32)
+
+    return jax.lax.platform_dependent(
+        masks, coords, tpu=point_sample_pallas, default=xla_path
     )
-    return out
 
 
 def calculate_uncertainty(logits: jnp.ndarray) -> jnp.ndarray:

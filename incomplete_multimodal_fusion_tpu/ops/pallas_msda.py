@@ -11,27 +11,31 @@ Design — per-point gathers are TPU-hostile, so the bilinear sample is
 reformulated as an MXU matmul against an implicit sparse weight matrix
 recomputed in VMEM:
 
-  For one level with value grid ``v`` [H*W, D] and a tile of sampling points
-  at pixel coords (px, py), the bilinear weight of grid cell (h, w) is the
-  separable hat product  max(0, 1-|py-h|) * max(0, 1-|px-w|)  — exactly the
-  4-corner bilinear weights, with grid_sample's zero padding emerging
-  naturally as the hat decays past the border. So
+  For one level with value grid ``v`` [H*W, D] and a lane-tile of sampling
+  rows at pixel coords (px, py), the bilinear weight of grid cell (h, w) is
+  the separable hat product  max(0, 1-|py-h|) * max(0, 1-|px-w|)  — exactly
+  the 4-corner bilinear weights, with grid_sample's zero padding emerging
+  naturally as the hat decays past the border. With rows on the LANE axis:
 
-      sampled[r, :] = W[r, :] @ v,     W[r, hw] = hat_y(r, h) * hat_x(r, w)
+      wts[hw, r] = hat_y(r, h) * hat_x(r, w) * aw[r]     # iota compares
+      s[r, :]    = wts^T @ v                              # MXU
+      out[q, :]  = band @ s,  band[i, j] = 1{j // P == i} # P-point reduce
 
-  W ([rows, H*W], 4 nonzeros per row) is built from iota compares — no HBM
-  traffic, and the "gather" runs at MXU speed. The per-query reduction over
-  the P sampling points is a second tiny matmul against a constant banded
-  matrix  band[i, j] = 1{j // P == i}, so the kernel contains no transposes
-  or layout-changing reshapes at all; attention weights fold in as a
-  lane-broadcast column multiply.
+  so the kernel contains no gathers and no transposes; the attention
+  weights fold into wts as a free lane-broadcast.
 
-The backward pass reuses the same structure (all MXU):
-    dV   = W^T @ (aw * band^T dOut)
-    dW   = (aw * band^T dOut) @ v^T
-    dpy  = sum_hw dW * hat_x * dhat_y      (dhat = -sign inside the support)
-    dpx  = sum_hw dW * hat_y * dhat_x
-    daw  = sum_d (band^T dOut) * (W @ v)
+Backward (all MXU / lane-broadcast VPU):
+    g    = band^T @ dOut                                  # [rows, d]
+    dV  += wts @ g                                        # [hw, d]
+    dwT  = v @ g^T  (pre-aw)                              # [hw, rows]
+    dpy  = sum_hw (dwT * aw) * hat_x * dhat_y
+    dpx  = sum_hw (dwT * aw) * hat_y * dhat_x
+    daw  = sum_hw (wts_noaw) * dwT
+
+Layout note: sampling rows live on the LANE axis — py/px/aw ship packed as
+one [BM, 3, rows] array and row-grads come back the same way. A
+[BM, rows, 1] column layout gets tile-padded 1 -> 128 lanes in HBM (128x
+memory blowup: ~690 MB per operand at downstream sizes, observed).
 
 One pallas_call per pyramid level; the level-sum happens in XLA (L adds).
 The [0,1]->pixel affine conversion and its gradient live outside the kernel
@@ -40,6 +44,7 @@ as plain JAX, so only the pixel-space level op needs the custom VJP.
 from __future__ import annotations
 
 import functools
+import math
 from typing import Sequence, Tuple
 
 import jax
@@ -49,8 +54,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _hat(coord, idx):
-    """Bilinear hat weights max(0, 1 - |coord - idx|); coord [rows, 1]
-    broadcasts against the iota plane idx [rows, hw]."""
+    """Bilinear hat weights max(0, 1 - |coord - idx|); coord [1, TR]
+    broadcasts against the iota plane idx [hw, TR]."""
     return jnp.maximum(0.0, 1.0 - jnp.abs(coord - idx))
 
 
@@ -60,9 +65,9 @@ def _dhat(coord, idx):
     return jnp.where(jnp.abs(diff) < 1.0, -jnp.sign(diff), 0.0)
 
 
-def _grids(rows: int, h: int, w: int):
-    """Integer y/x coordinate planes, [rows, h*w] float32."""
-    cell = jax.lax.broadcasted_iota(jnp.int32, (rows, h * w), 1)
+def _grids(hw: int, tr: int, w: int):
+    """Integer y/x coordinate planes, [hw, TR] float32 (cell on sublanes)."""
+    cell = jax.lax.broadcasted_iota(jnp.int32, (hw, tr), 0)
     return (cell // w).astype(jnp.float32), (cell % w).astype(jnp.float32)
 
 
@@ -79,53 +84,55 @@ def _dot(a, b, dims):
                                preferred_element_type=jnp.float32)
 
 
-def _fwd_kernel(py_ref, px_ref, aw_ref, v_ref, o_ref, *, h, w, p):
-    py = py_ref[0]  # [rows, 1]
-    px = px_ref[0]
-    aw = aw_ref[0]  # [rows, 1]
-    v = v_ref[0].astype(jnp.float32)  # [h*w, d]
-    rows = py.shape[0]
-    yy, xx = _grids(rows, h, w)
-    wts = _hat(py, yy) * _hat(px, xx)  # [rows, hw]
-    s = _dot(wts, v, (((1,), (0,))))  # [rows, d]
-    s = s * aw  # fold attention weights (lane-broadcast column)
-    o_ref[0] = _dot(_band(rows // p, rows), s, (((1,), (0,)))).astype(o_ref.dtype)
+def _fwd_kernel(pr_ref, v_ref, o_ref, *, h, w, p):
+    py = pr_ref[0, 0:1, :]  # [1, TR]
+    px = pr_ref[0, 1:2, :]
+    aw = pr_ref[0, 2:3, :]
+    v = v_ref[0].astype(jnp.float32)  # [hw, d]
+    tr = py.shape[1]
+    yy, xx = _grids(h * w, tr, w)
+    wts = _hat(py, yy) * _hat(px, xx) * aw  # [hw, TR], aw folded free
+    s = _dot(wts, v, ((0,), (0,)))  # [TR, d]
+    o_ref[0] = _dot(_band(tr // p, tr), s, ((1,), (0,))).astype(o_ref.dtype)
 
 
-def _bwd_kernel(py_ref, px_ref, aw_ref, v_ref, do_ref,
-                dv_ref, dpy_ref, dpx_ref, daw_ref, *, h, w, p):
-    py = py_ref[0]
-    px = px_ref[0]
-    aw = aw_ref[0]
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)  # [q, d]
-    rows = py.shape[0]
-    yy, xx = _grids(rows, h, w)
+def _bwd_kernel(pr_ref, v_ref, do_ref, dv_ref, dpr_ref, dv_acc, *, h, w, p):
+    j = pl.program_id(1)
+    nprog = pl.num_programs(1)
+    py = pr_ref[0, 0:1, :]
+    px = pr_ref[0, 1:2, :]
+    aw = pr_ref[0, 2:3, :]
+    v = v_ref[0].astype(jnp.float32)  # [hw, d]
+    do = do_ref[0].astype(jnp.float32)  # [q_t, d]
+    tr = py.shape[1]
+    yy, xx = _grids(h * w, tr, w)
     hy = _hat(py, yy)
     hx = _hat(px, xx)
-    wts = hy * hx  # [rows, hw]
+    wts0 = hy * hx  # [hw, TR] (pre-aw)
 
-    g = _dot(_band(rows // p, rows), do, (((0,), (0,))))  # band^T dOut [rows, d]
-    g_aw = g * aw
-    # dV: accumulate across query tiles (sequential grid revisits the block)
-    dv = _dot(wts, g_aw, (((0,), (0,))))  # [hw, d]
-    qt = pl.program_id(1)
+    g = _dot(_band(tr // p, tr), do, ((0,), (0,)))  # band^T dOut -> [TR, d]
+    dv = _dot(wts0 * aw, g, ((1,), (0,)))  # [hw, d]
 
-    @pl.when(qt == 0)
+    @pl.when(j == 0)
     def _():
-        dv_ref[0] = dv.astype(dv_ref.dtype)
+        dv_acc[...] = dv
 
-    @pl.when(qt != 0)
+    @pl.when(j > 0)
     def _():
-        dv_ref[0] = (dv_ref[0].astype(jnp.float32) + dv).astype(dv_ref.dtype)
+        dv_acc[...] += dv
 
-    dw = _dot(g_aw, v, (((1,), (1,))))  # [rows, hw]
-    dpy_ref[0] = jnp.sum(dw * hx * _dhat(py, yy), axis=1, keepdims=True
-                         ).astype(dpy_ref.dtype)
-    dpx_ref[0] = jnp.sum(dw * hy * _dhat(px, xx), axis=1, keepdims=True
-                         ).astype(dpx_ref.dtype)
-    s = _dot(wts, v, (((1,), (0,))))  # recomputed sample [rows, d]
-    daw_ref[0] = jnp.sum(g * s, axis=1, keepdims=True).astype(daw_ref.dtype)
+    @pl.when(j == nprog - 1)
+    def _():
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+    dw = _dot(v, g, ((1,), (1,)))  # [hw, TR] (pre-aw sample grads)
+    dw_aw = dw * aw
+    dpr_ref[0, 0:1, :] = jnp.sum(dw_aw * hx * _dhat(py, yy), axis=0,
+                                 keepdims=True).astype(dpr_ref.dtype)
+    dpr_ref[0, 1:2, :] = jnp.sum(dw_aw * hy * _dhat(px, xx), axis=0,
+                                 keepdims=True).astype(dpr_ref.dtype)
+    dpr_ref[0, 2:3, :] = jnp.sum(wts0 * dw, axis=0,
+                                 keepdims=True).astype(dpr_ref.dtype)
 
 
 def _interpret() -> bool:
@@ -133,81 +140,79 @@ def _interpret() -> bool:
 
 
 def _lq_tile(hw: int, p: int) -> int:
-    """Query-tile size: keep each [rows, hw] f32 plane within ~1 MB. The
-    BACKWARD kernel holds ~8 such planes (yy/xx/hy/hx/wts/dw + grads); the
-    old 2 MB budget with a 256-row floor hit the 16 MB scoped-VMEM limit at
-    the (64, 64) pyramid level (16.45 MB, tpu_compile_helper OOM — verified
-    on-device at the batch-30 downstream step)."""
-    rows_budget = max(8, min(512, (1024 * 1024) // (4 * max(hw, 1))))
-    return max(2, rows_budget // p)
+    """Query-tile size: rows = lq_tile * p live on the lane axis, so the
+    row tile must be a 128-multiple; keep each [hw, rows] f32 plane near
+    1 MB (the backward holds ~6 such planes — the 16 MB scoped-VMEM limit
+    is real, verified OOM at 2 MB planes with a 256-row floor)."""
+    rows_budget = (1024 * 1024) // (4 * max(hw, 1))
+    rows = max(128, min(512, (rows_budget // 128) * 128))
+    return max(1, rows // p)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _msda_level(v, py, px, aw, h, w, p):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _msda_level(v, pr, h, w, p):
     """One pyramid level in pixel space.
 
-    v: [BM, h*w, D]; py/px/aw: [BM, LqPad*P, 1] (p-minor row order, padded
-    rows must carry aw == 0). Returns [BM, LqPad, D] float32.
+    v: [BM, h*w, D]; pr: [BM, 3, LqPad*P] packed (py, px, aw) rows in
+    p-minor order; padded rows must carry aw == 0. Returns
+    [BM, LqPad, D] float32.
     """
-    out, _ = _msda_level_fwd(v, py, px, aw, h, w, p)
+    out, _ = _msda_level_fwd(v, pr, h, w, p)
     return out
 
 
-def _specs(bm, hw, d, rows, q):
-    col = lambda rr: pl.BlockSpec((1, rr, 1), lambda i, j: (i, j, 0),
-                                  memory_space=pltpu.VMEM)
+def _specs(hw, d, rows, q):
+    prspec = pl.BlockSpec((1, 3, rows), lambda i, j: (i, 0, j),
+                          memory_space=pltpu.VMEM)
     vspec = pl.BlockSpec((1, hw, d), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     ospec = pl.BlockSpec((1, q, d), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM)
-    return col(rows), vspec, ospec
+    return prspec, vspec, ospec
 
 
-def _msda_level_fwd(v, py, px, aw, h, w, p):
+def _msda_level_fwd(v, pr, h, w, p):
     bm, hw, d = v.shape
-    rows_total = py.shape[1]
+    rows_total = pr.shape[2]
     lq_t = _lq_tile(hw, p)
     rows = lq_t * p
     n_qt = rows_total // rows
     assert n_qt * rows == rows_total, (rows_total, rows)
-    colspec, vspec, ospec = _specs(bm, hw, d, rows, lq_t)
+    prspec, vspec, ospec = _specs(hw, d, rows, lq_t)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, h=h, w=w, p=p),
         grid=(bm, n_qt),
-        in_specs=[colspec, colspec, colspec, vspec],
+        in_specs=[prspec, vspec],
         out_specs=ospec,
         out_shape=jax.ShapeDtypeStruct((bm, rows_total // p, d), jnp.float32),
         interpret=_interpret(),
-    )(py, px, aw, v)
-    return out, (v, py, px, aw)
+    )(pr, v)
+    return out, (v, pr)
 
 
 def _msda_level_bwd(h, w, p, res, dout):
-    v, py, px, aw = res
+    v, pr = res
     bm, hw, d = v.shape
-    rows_total = py.shape[1]
+    rows_total = pr.shape[2]
     lq_t = _lq_tile(hw, p)
     rows = lq_t * p
     n_qt = rows_total // rows
-    colspec, vspec, _ = _specs(bm, hw, d, rows, lq_t)
+    prspec, vspec, _ = _specs(hw, d, rows, lq_t)
     dospec = pl.BlockSpec((1, lq_t, d), lambda i, j: (i, j, 0),
                           memory_space=pltpu.VMEM)
-    dvspec = pl.BlockSpec((1, hw, d), lambda i, j: (i, 0, 0),
-                          memory_space=pltpu.VMEM)
-    dv, dpy, dpx, daw = pl.pallas_call(
+    dv, dpr = pl.pallas_call(
         functools.partial(_bwd_kernel, h=h, w=w, p=p),
         grid=(bm, n_qt),
-        in_specs=[colspec, colspec, colspec, vspec, dospec],
-        out_specs=(dvspec, colspec, colspec, colspec),
+        in_specs=[prspec, vspec, dospec],
+        out_specs=(vspec, prspec),
         out_shape=(
             jax.ShapeDtypeStruct(v.shape, v.dtype),
-            jax.ShapeDtypeStruct(py.shape, jnp.float32),
-            jax.ShapeDtypeStruct(px.shape, jnp.float32),
-            jax.ShapeDtypeStruct(aw.shape, jnp.float32),
+            jax.ShapeDtypeStruct(pr.shape, jnp.float32),
         ),
+        scratch_shapes=[pltpu.VMEM((hw, d), jnp.float32)],
         interpret=_interpret(),
-    )(py, px, aw, v, dout)
-    return dv, dpy, dpx, daw
+    )(pr, v, dout)
+    return dv, dpr
 
 
 _msda_level.defvjp(_msda_level_fwd, _msda_level_bwd)
@@ -232,8 +237,6 @@ def ms_deform_attn_pallas(
 
     # pad the query count to a common multiple of every level's tile size
     # (padded rows carry aw = 0, so they contribute exactly zero)
-    import math
-
     lcm = 1
     for hh, ww in spatial_shapes:
         t = _lq_tile(hh * ww, p)
@@ -249,12 +252,13 @@ def ms_deform_attn_pallas(
         py = loc[..., 1].astype(jnp.float32) * hh - 0.5
         aw = attention_weights[:, :, :, lid].astype(jnp.float32)  # [B,Lq,M,P]
 
-        def rows(x):  # [B, Lq, M, P] -> [BM, lq_pad*P, 1], p-minor
+        def rows(x):  # [B, Lq, M, P] -> [BM, lq_pad*P], p-minor lane order
             x = x.transpose(0, 2, 1, 3).reshape(b * m, lq, p)
             x = jnp.pad(x, ((0, 0), (0, lq_pad - lq), (0, 0)))
-            return x.reshape(b * m, lq_pad * p, 1)
+            return x.reshape(b * m, lq_pad * p)
 
-        out = out + _msda_level(v_l, rows(py), rows(px), rows(aw), hh, ww, p)
+        pr = jnp.stack([rows(py), rows(px), rows(aw)], axis=1)  # [BM, 3, R]
+        out = out + _msda_level(v_l, pr, hh, ww, p)
     out = out[:, :lq].reshape(b, m, lq, d).transpose(0, 2, 1, 3)
     return out.reshape(b, lq, m * d).astype(value.dtype)
 
