@@ -213,3 +213,54 @@ class TestInferHandlers:
         import os
 
         assert os.path.getsize(p) > 0
+
+
+class TestDownstreamDataParallel:
+    @pytest.mark.slow
+    def test_sharded_step_matches_single_device(self):
+        """Downstream MaskFormer training sharded over the 8-CPU-device
+        'data' mesh must match single-device numerics — same guarantee the
+        pretrain path has (tests/test_train.py), extended to the full
+        backbone + pixel decoder + query decoder + set criterion stack."""
+        from incomplete_multimodal_fusion_tpu.parallel import mesh as mesh_lib
+        from incomplete_multimodal_fusion_tpu.parallel import sharding as shard_lib
+
+        model = MaskFormerModel(CFG)
+        b = 8
+        x = {d: jnp.asarray(
+            np.random.default_rng(7).standard_normal((b, CFG.image_size, CFG.image_size, c)),
+            jnp.float32)
+            for d, c in zip(DOMAINS, (1, 3, 1))}
+        targets = make_targets(b)
+        import optax
+
+        params = model.init(jax.random.PRNGKey(1), x)["params"]
+        # SGD, not Adam: Adam normalizes near-zero grads to +-lr, so benign
+        # cross-device reduction-order noise flips update signs and the
+        # param comparison stops measuring gradient correctness
+        tx = optax.sgd(1e-2)
+        state = ds.DownstreamState(step=jnp.zeros((), jnp.int32), params=params,
+                                   opt_state=tx.init(params),
+                                   rng=jax.random.PRNGKey(5))
+        step = ds.make_downstream_train_step(
+            model, CFG, tx, num_points=32, compute_dtype="float32",
+            match_mode="greedy")
+
+        s1, m1 = jax.jit(step)(state, x, targets)
+
+        mesh = mesh_lib.data_parallel_mesh()
+        assert mesh.devices.size == 8
+        xs = shard_lib.shard_batch(x, mesh)
+        ts = SegTargets(*(shard_lib.shard_batch(
+            {"a": targets.labels, "b": targets.masks, "c": targets.valid}, mesh
+        )[k] for k in ("a", "b", "c")))
+        state_r = jax.device_put(state, shard_lib.replicated(mesh))
+        s8, m8 = jax.jit(step)(state_r, xs, ts)
+
+        # forward must agree bitwise-ish; the param bound is loose because
+        # gradients flow through large cancelling reductions (12k-point sums
+        # per mask), where the psum tree's f32 summation order legitimately
+        # differs from the single-device fused reduce
+        np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-6)
+        for a, b_ in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-3)
