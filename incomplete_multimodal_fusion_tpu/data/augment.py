@@ -61,9 +61,9 @@ def random_crop_multimodal(
     sample: Dict[str, np.ndarray],
     out_size: Tuple[int, int],
     rng: np.random.Generator,
-    label_keys: Sequence[str] = ("label", "segments", "index", "dnw"),
 ) -> Dict[str, np.ndarray]:
-    """One random window applied to every array (CHW rasters and HW maps).
+    """One random window applied to every array (CHW rasters and HW maps),
+    including SEN12MS-style 'segments'/'index' superpixel planes.
 
     Mirrors multimodal_dfc2023.py:54-94: top/left ~ U(0, size - out); string
     entries (e.g. 'id') pass through untouched.

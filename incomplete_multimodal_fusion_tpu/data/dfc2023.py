@@ -132,7 +132,11 @@ class DFC2023Dataset:
         self.unlabeled = unlabeled
         self.transform = transform
         self.crop_size = crop_size or size
-        self._rng = np.random.default_rng(seed)
+        # per-sample generators are derived from (seed, index) on demand:
+        # __getitem__ runs on a ThreadPoolExecutor (dfc2023_iterator) and a
+        # shared np.random.Generator is not thread-safe (racing bit-generator
+        # state => correlated crops / undefined behavior)
+        self._seed = seed
         rgb_locs = sorted(
             glob.glob(os.path.join(path, "rgb/*.tiff"))
             + glob.glob(os.path.join(path, "rgb/*.tif"))
@@ -167,7 +171,8 @@ class DFC2023Dataset:
         if self.transform and self.crop_size < self.size:
             from .augment import random_crop_multimodal
 
-            out = random_crop_multimodal(out, (self.crop_size, self.crop_size), self._rng)
+            rng = np.random.default_rng((self._seed, i))
+            out = random_crop_multimodal(out, (self.crop_size, self.crop_size), rng)
         return out
 
 

@@ -89,20 +89,12 @@ def random_crop_superpixel(
     rng: np.random.Generator,
 ) -> Dict[str, np.ndarray]:
     """Crop image [C, H, W], 'segments' [H, W] and 'index' [K, H, W] with the
-    same window (multimodal_dataset.py:46-72); 'label' [H, W] if present."""
-    img = sample["image"]
-    _, h, w = img.shape
-    top = int(rng.integers(0, h - size)) if h > size else 0
-    left = int(rng.integers(0, w - size)) if w > size else 0
-    out = dict(sample)
-    out["image"] = img[:, top:top + size, left:left + size]
-    if sample.get("segments") is not None:
-        out["segments"] = sample["segments"][top:top + size, left:left + size]
-    if sample.get("index") is not None:
-        out["index"] = sample["index"][:, top:top + size, left:left + size]
-    if sample.get("label") is not None:
-        out["label"] = sample["label"][top:top + size, left:left + size]
-    return out
+    same window (multimodal_dataset.py:46-72); 'label' [H, W] if present.
+    Thin wrapper over the shared window-crop (data/augment.py), which crops
+    every ndarray entry — superpixel planes included — with one window."""
+    from .augment import random_crop_multimodal
+
+    return random_crop_multimodal(sample, (size, size), rng)
 
 
 class SEN12MSDataset:

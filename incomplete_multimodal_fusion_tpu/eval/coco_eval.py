@@ -78,7 +78,6 @@ class CocoMaskEvaluator:
         self._imgs: Dict[int, List[Dict[str, np.ndarray]]] = {
             c: [] for c in range(num_classes)
         }
-        self._n_gt = np.zeros(num_classes, np.int64)
 
     def add_image(
         self,
@@ -108,7 +107,6 @@ class CocoMaskEvaluator:
         for c in range(self.num_classes):
             p_idx = np.nonzero(pred_classes == c)[0]
             g_idx = np.nonzero(gt_classes == c)[0]
-            self._n_gt[c] += len(g_idx)
             if len(p_idx) == 0 and len(g_idx) == 0:
                 continue
             if self.iou_type == "bbox":
@@ -160,9 +158,24 @@ class CocoMaskEvaluator:
         ignore |= (~tp) & ~ignore & out_of_rng
         return scores, tp, ignore, int((~g_ig).sum())
 
-    def _pr_stats(self, area: str, max_det: int):
-        """Per (class, thr): 101-pt AP and best recall at this det limit."""
+    def _compute_matches(self, area: str):
+        """One greedy-matching pass per (class, image, thr) for this area
+        range. Matching is independent of the detection limit (detections
+        are score-sorted, so a maxDets cut is a prefix slice) — callers
+        reuse one pass for every AR@k instead of rematching."""
         a0, a1 = AREA_RNG[area]
+        t = len(IOU_THRS)
+        out = []
+        for c in range(self.num_classes):
+            recs = []
+            for r in self._imgs[c]:
+                recs.append([self._match_image(r, thr, a0, a1)
+                             for thr in IOU_THRS])
+            out.append(recs)
+        return out
+
+    def _pr_stats(self, matches, max_det: int):
+        """Per (class, thr): 101-pt AP and best recall at this det limit."""
         t = len(IOU_THRS)
         ap = np.full((self.num_classes, t), np.nan)
         rec = np.full((self.num_classes, t), np.nan)
@@ -170,9 +183,8 @@ class CocoMaskEvaluator:
             per_thr_scores = [[] for _ in range(t)]
             per_thr_tp = [[] for _ in range(t)]
             n_gt = 0
-            for r in self._imgs[c]:
-                for ti, thr in enumerate(IOU_THRS):
-                    s, tp, ig, ng = self._match_image(r, thr, a0, a1)
+            for per_thr in matches[c]:
+                for ti, (s, tp, ig, ng) in enumerate(per_thr):
                     s, tp, ig = s[:max_det], tp[:max_det], ig[:max_det]
                     per_thr_scores[ti].append(s[~ig])
                     per_thr_tp[ti].append(tp[~ig])
@@ -208,8 +220,11 @@ class CocoMaskEvaluator:
 
     def summarize(self) -> Dict[str, float]:
         """cocoeval.py summarize() table: AP / AP50 / AP75 / AP_s/m/l and
-        AR@1/10/100 (+ per-class AP at area=all, maxDets=100)."""
-        ap_all, _ = self._pr_stats("all", self.max_dets)
+        AR at 1/10/max_dets detections (+ per-class AP at area=all). One
+        matching pass per area range — 4 total, with every AR@k sliced from
+        the area='all' pass."""
+        m_all = self._compute_matches("all")
+        ap_all, _ = self._pr_stats(m_all, self.max_dets)
         valid = ~np.isnan(ap_all[:, 0])
         if not valid.any():
             return {"AP": 0.0, "AP50": 0.0, "AP75": 0.0}
@@ -223,12 +238,14 @@ class CocoMaskEvaluator:
             ],
         }
         for area in ("small", "medium", "large"):
-            ap_a, _ = self._pr_stats(area, self.max_dets)
+            ap_a, _ = self._pr_stats(self._compute_matches(area), self.max_dets)
             out[f"AP_{area}"] = (
                 float(np.nanmean(ap_a)) if not np.isnan(ap_a).all() else -1.0
             )
-        for md in MAX_DETS:
-            _, rec = self._pr_stats("all", md)
+        # add_image stores at most self.max_dets detections, so only honest
+        # det limits are reported (no 'AR@100' computed over 50 detections)
+        for md in sorted({min(md, self.max_dets) for md in MAX_DETS}):
+            _, rec = self._pr_stats(m_all, md)
             out[f"AR@{md}"] = (
                 float(np.nanmean(rec)) if not np.isnan(rec).all() else -1.0
             )

@@ -126,7 +126,15 @@ class ConfMatrix:
         return res
 
     def get_miou(self) -> float:
-        return float(self.get_iou().mean())
+        """Mean IoU over classes with any support (GT or prediction mass).
+        Averaging over the full range would include the structurally-empty
+        ignore class 0 (pred = argmax + 1 never emits it and add() drops
+        gt == 0), deflating the score by K/(K+1)."""
+        iou = self.get_iou()
+        present = (self.state.sum(axis=1) + self.state.sum(axis=0)) > 0
+        if not present.any():
+            return 0.0
+        return float(iou[present].mean())
 
 
 def psnr_metrics(pred, target, data_range: Optional[float] = None) -> float:

@@ -197,10 +197,11 @@ def colorize_labels(label_map: np.ndarray, colors: Optional[np.ndarray] = None) 
 
 
 def _mask_boundary(sel: np.ndarray) -> np.ndarray:
-    """Boundary pixels of a binary mask (mask minus its 4-neighbor erosion)."""
-    er = sel.copy()
-    for ax, sh in ((0, 1), (0, -1), (1, 1), (1, -1)):
-        er &= np.roll(sel, sh, axis=ax)
+    """Boundary pixels of a binary mask (mask minus its 4-neighbor erosion).
+    Zero-padded shifts, not np.roll: wraparound would treat image-border
+    pixels of an edge-to-edge mask as interior and drop their outline."""
+    p = np.pad(sel, 1, constant_values=False)
+    er = (sel & p[:-2, 1:-1] & p[2:, 1:-1] & p[1:-1, :-2] & p[1:-1, 2:])
     return sel & ~er
 
 

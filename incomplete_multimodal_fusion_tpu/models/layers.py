@@ -169,8 +169,10 @@ class GEGLUFeedForward(nn.Module):
         if use_pallas and ffn_supported(m, dim, inner):
             x2 = x.reshape(m, dim)
             fn = geglu_ffn_auto if use_pallas == "auto" else geglu_ffn
-            y = fn(x2, gamma[None].astype(x.dtype),
-                   k_in.astype(x.dtype), k_out.astype(x.dtype))
+            # gamma stays at param precision — the kernel's norm runs in f32
+            # and the unfused fallback applies the f32 gamma, so quantizing
+            # it to the activation dtype here would open a parity gap
+            y = fn(x2, gamma[None], k_in.astype(x.dtype), k_out.astype(x.dtype))
             return y.reshape(x.shape)
 
         # unfused fallback on the same raw params (BiaslessLayerNorm math)

@@ -31,6 +31,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .pallas_common import interpret_mode
+
 PAD_TYPE = 255
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
@@ -212,7 +214,7 @@ def _use_tiled(n: int) -> bool:
 def _zorro_attention_bhnd(q, k, v, types, heads, scale, fusion_type):
     """q/k/v: [B*H, N, dh]; types: [B, 1, N] int32 (PAD_TYPE = padding)."""
     bh, n, dh = q.shape
-    interpret = jax.default_backend() != "tpu"
+    interpret = interpret_mode()
     if _use_tiled(n):
         tq = _q_tile(n)
         qspec, kspec, tspec = _specs_tiled(n, dh, heads, tq)
@@ -244,7 +246,7 @@ def _fwd(q, k, v, types, heads, scale, fusion_type):
 def _bwd(heads, scale, fusion_type, res, do):
     q, k, v, types, o = res
     bh, n, dh = q.shape
-    interpret = jax.default_backend() != "tpu"
+    interpret = interpret_mode()
     if _use_tiled(n):
         tq = _q_tile(n)
         qspec, kspec, tspec = _specs_tiled(n, dh, heads, tq)
@@ -391,7 +393,7 @@ def _zorro_attention_packed(q, k, v, types, heads, scale, fusion_type):
     b, n, inner = q.shape
     dh = inner // heads
     xspec, tspec = _specs_packed(n, inner)
-    interpret = jax.default_backend() != "tpu"
+    interpret = interpret_mode()
     return pl.pallas_call(
         functools.partial(_fwd_kernel_packed, scale=scale,
                           fusion_type=fusion_type, heads=heads, dh=dh),
@@ -413,7 +415,7 @@ def _packed_bwd(heads, scale, fusion_type, res, do):
     b, n, inner = q.shape
     dh = inner // heads
     xspec, tspec = _specs_packed(n, inner)
-    interpret = jax.default_backend() != "tpu"
+    interpret = interpret_mode()
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel_packed, scale=scale,
                           fusion_type=fusion_type, heads=heads, dh=dh),

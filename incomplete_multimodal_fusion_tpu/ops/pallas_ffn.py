@@ -27,6 +27,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .pallas_common import interpret_mode
+
 LN_EPS = 1e-5
 _SQRT_2 = 1.4142135623730951
 _INV_SQRT_2PI = 0.3989422804014327
@@ -176,7 +178,7 @@ def _ffn_fwd_impl(x, gamma, w_in, w_out):
     m, d = x.shape
     inner = w_out.shape[0]
     tm = _row_tile(m, inner)
-    interpret = jax.default_backend() != "tpu"
+    interpret = interpret_mode()
     xspec, gspec, winspec, woutspec = _specs(m, d, inner, tm)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, inner=inner),
@@ -197,7 +199,7 @@ def _ffn_bwd(res, dy):
     m, d = x.shape
     inner = w_out.shape[0]
     tm = _row_tile(m, inner)
-    interpret = jax.default_backend() != "tpu"
+    interpret = interpret_mode()
     xspec, gspec, winspec, woutspec = _specs(m, d, inner, tm)
     dx, dgamma, dwin, dwout = pl.pallas_call(
         functools.partial(_bwd_kernel, inner=inner),
@@ -332,7 +334,7 @@ def _mlp_fwd_impl(x, w1, b1, w2, b2):
     hidden = w1.shape[1]
     out = w2.shape[1]
     tm = _row_tile(m, hidden // 2)
-    interpret = jax.default_backend() != "tpu"
+    interpret = interpret_mode()
     xspec, w1s, b1s, w2s, b2s, yspec = _mlp_specs(d, hidden, out, tm)
     return pl.pallas_call(
         _mlp_fwd_kernel,
@@ -354,7 +356,7 @@ def _mlp_bwd(res, dy):
     hidden = w1.shape[1]
     out = w2.shape[1]
     tm = _row_tile(m, hidden // 2)
-    interpret = jax.default_backend() != "tpu"
+    interpret = interpret_mode()
     xspec, w1s, b1s, w2s, b2s, yspec = _mlp_specs(d, hidden, out, tm)
     dx, dw1, db1, dw2, db2 = pl.pallas_call(
         _mlp_bwd_kernel,

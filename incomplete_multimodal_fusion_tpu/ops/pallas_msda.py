@@ -52,17 +52,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _hat(coord, idx):
-    """Bilinear hat weights max(0, 1 - |coord - idx|); coord [1, TR]
-    broadcasts against the iota plane idx [hw, TR]."""
-    return jnp.maximum(0.0, 1.0 - jnp.abs(coord - idx))
-
-
-def _dhat(coord, idx):
-    """d(hat)/d(coord): -sign(coord - idx) on the open support |.| < 1."""
-    diff = coord - idx
-    return jnp.where(jnp.abs(diff) < 1.0, -jnp.sign(diff), 0.0)
+from .pallas_common import dhat as _dhat
+from .pallas_common import hat as _hat
+from .pallas_common import interpret_mode as _interpret
 
 
 def _grids(hw: int, tr: int, w: int):
@@ -133,10 +125,6 @@ def _bwd_kernel(pr_ref, v_ref, do_ref, dv_ref, dpr_ref, dv_acc, *, h, w, p):
                                  keepdims=True).astype(dpr_ref.dtype)
     dpr_ref[0, 2:3, :] = jnp.sum(wts0 * dw, axis=0,
                                  keepdims=True).astype(dpr_ref.dtype)
-
-
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
 
 
 def _lq_tile(hw: int, p: int) -> int:

@@ -39,14 +39,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _hat(coord, idx):
-    return jnp.maximum(0.0, 1.0 - jnp.abs(coord - idx))
-
-
-def _dhat(coord, idx):
-    diff = coord - idx
-    return jnp.where(jnp.abs(diff) < 1.0, -jnp.sign(diff), 0.0)
+from .pallas_common import dhat as _dhat
+from .pallas_common import hat as _hat
+from .pallas_common import interpret_mode as _interpret
 
 
 def _iota_col(k: int, tp: int):
@@ -104,10 +99,6 @@ def _pt_tile(p: int) -> int:
     if p >= 2048:
         return 2048
     return -(-p // 128) * 128  # lane-axis tiles are 128-multiples
-
-
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
 
 
 def _specs(tp: int, h: int, w: int):
