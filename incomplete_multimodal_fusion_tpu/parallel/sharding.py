@@ -5,7 +5,10 @@ support DP over a ``data`` axis plus optional Megatron-style tensor
 parallelism over a ``model`` axis: attention/MLP projection kernels are
 sharded on their hidden dimension and XLA inserts the all-reduces
 (scaling-book recipe: annotate shardings, let GSPMD place collectives on
-ICI).
+ICI). ``fsdp_shardings`` additionally shards parameters (and, through the
+same tree, AdamW moments) along the data axis ZeRO-3-style — GSPMD
+all-gathers weights per layer and reduce-scatters their grads, cutting
+per-device param+optimizer memory by ~1/dp for models that outgrow a chip.
 """
 from __future__ import annotations
 
@@ -46,6 +49,39 @@ def params_shardings(params, mesh: Mesh, model_axis: Optional[str] = None):
         return NamedSharding(
             mesh, param_spec(_path_str(path), leaf.shape, model_axis, axis_size)
         )
+
+    return jax.tree_util.tree_map_with_path(f, params)
+
+
+def fsdp_shardings(params, mesh: Mesh, data_axis: str = "data",
+                   min_size: int = 2 ** 12):
+    """ZeRO-3-style parameter sharding: every large-enough param is split on
+    its largest axis-size-divisible dimension across the data axis; small
+    params stay replicated (sharding overhead beats the memory win).
+
+    Apply the same tree to the optimizer state (optax moments mirror the
+    param tree), and GSPMD inserts per-layer all-gathers in the forward and
+    reduce-scatters in the backward."""
+    axis_size = dict(zip(mesh.axis_names, mesh.devices.shape))[data_axis]
+
+    def spec(shape) -> P:
+        size = 1
+        for s in shape:
+            size *= s
+        if size < min_size or axis_size == 1:
+            return P()
+        # shard the largest divisible dim (ties -> earliest)
+        best, best_dim = 0, -1
+        for i, s in enumerate(shape):
+            if s % axis_size == 0 and s > best:
+                best, best_dim = s, i
+        if best_dim < 0:
+            return P()
+        return P(*[data_axis if i == best_dim else None
+                   for i in range(len(shape))])
+
+    def f(path, leaf):
+        return NamedSharding(mesh, spec(leaf.shape))
 
     return jax.tree_util.tree_map_with_path(f, params)
 
