@@ -26,6 +26,9 @@ class ModelConfig:
     # 'crossattn' = per-layer fusion blocks (flagship, multimae_crossattn.py)
     # 'zorro'     = plain zorro-masked blocks only (multimae.py)
     # 'lstm'      = BiLSTM per-position fusion (multimae_lstm.py)
+    # 'crossattn_v1' = dated 20231203 snapshot: gathered fusion stream +
+    #               per-layer cross-attention over mask-embedded modality
+    #               grids (multimae_crossattn_20231203.py)
     # 'sup'       = supervised baseline, no fusion stream (multimae_sup.py)
     fusion_mode: str = "crossattn"
     attn_impl: str = "auto"  # 'auto' | 'pallas' | 'xla'

@@ -512,6 +512,41 @@ class ViTDecoderBlock(nn.Module):
         return x
 
 
+class SnapshotCrossAttention(nn.Module):
+    """Per-position cross-attention over a small stack axis
+    (zorro_utils.py:198-224 CrossAttention as used by the 20231203 snapshot's
+    attn_pool_modalities, multimae_crossattn_20231203.py:514-520): each
+    query token attends over its own T-entry modality stack; q/kv are
+    bias-free, the output projection carries a bias."""
+
+    num_heads: int = 8
+
+    @nn.compact
+    def __call__(self, q_tokens, ctx):  # [B, E, D], [B, E, T, D] -> [B, E, D]
+        b, e, d = q_tokens.shape
+        t = ctx.shape[2]
+        h = self.num_heads
+        dh = d // h
+        q = nn.Dense(d, use_bias=False,
+                     kernel_init=nn.initializers.xavier_uniform(), name="q")(q_tokens)
+        kv = nn.Dense(2 * d, use_bias=False,
+                      kernel_init=xavier_uniform_fused(2), name="kv")(ctx)
+        k, v = jnp.split(kv, 2, axis=-1)
+        qh = q.reshape(b, e, h, dh)
+        kh = k.reshape(b, e, t, h, dh)
+        vh = v.reshape(b, e, t, h, dh)
+        # tiny stack axis: VPU mul-reduce, not 1 x t matmuls
+        sim = jnp.sum(
+            (qh[:, :, None] * (dh ** -0.5)).astype(jnp.float32)
+            * kh.astype(jnp.float32), axis=-1
+        )  # [B, E, T, h]
+        attn = jax.nn.softmax(sim, axis=2)
+        out = jnp.sum(attn[..., None].astype(vh.dtype) * vh, axis=2)
+        out = out.reshape(b, e, d)
+        return nn.Dense(d, kernel_init=nn.initializers.xavier_uniform(),
+                        name="proj")(out)
+
+
 class AttentionBiLSTM(nn.Module):
     """BiLSTM + attention pooling over a short axis
     (zorro_utils.py:276-299 AttentionBiLSTM / Attention_LSTM): run a

@@ -17,6 +17,13 @@ Fusion modes (all reference variants share this one implementation):
   * 'crossattn': per-layer FusionBlock + zorro Block (multimae_crossattn.py)
   * 'zorro':     zorro Blocks only; fusion tokens join via masked self-attn
                  (multimae.py:429-430)
+  * 'crossattn_v1': the dated 20231203 dev snapshot — fusion tokens gathered
+                 at visible positions, per-layer cross-attention over the
+                 mask-embedded modality grids, per-modality pool heads
+                 (multimae_crossattn_20231203.py:106-128, 454-471). The
+                 published snapshot only executes when every modality's
+                 visible count is encoded (e == sum of visible); this
+                 static-shape rebuild runs it for any configuration.
   * 'sup':       no fusion-token stream at all (multimae_sup.py)
 """
 from __future__ import annotations
@@ -185,6 +192,27 @@ class MultiMAE(nn.Module):
             from .layers import AttentionBiLSTM
 
             self.attn_lstm = AttentionBiLSTM(name="attn_lstm")
+        if self.fusion_mode == "crossattn_v1":
+            from .layers import SnapshotCrossAttention
+
+            # dated dev snapshot (multimae_crossattn_20231203.py): one shared
+            # per-position cross-attention over the mask-embedded modality
+            # grids (:106 attn_pool_modalities) + its own MLP (:115), plus
+            # SEPARATE per-modality pool attention/MLPs (:107-118)
+            self.attn_pool_modalities = SnapshotCrossAttention(
+                num_heads=self.heads, name="attn_pool_modalities")
+            self.mlp_modalities = Mlp(
+                hidden_features=int(self.dim_tokens * 4.0), name="mlp_modalities")
+            self.pool_attn = {
+                d: ZorroAttention(dim_head=self.dim_head, heads=self.heads,
+                                  name=f"attn_{d}")
+                for d in self.in_domains
+            }
+            self.pool_mlp = {
+                d: Mlp(hidden_features=int(self.dim_tokens * 4.0),
+                       name=f"mlp_{d}")
+                for d in self.in_domains
+            }
         self.norm = BiaslessLayerNorm(name="norm")
 
     def _grid_onehot(self, mask_info: MaskInfo, num_encoded_tokens: int, dtype):
@@ -244,6 +272,10 @@ class MultiMAE(nn.Module):
         if self.fusion_mode == "lstm":
             return self._forward_lstm(
                 packed, fusion_tokens, mask_info, e, deterministic
+            )
+        if self.fusion_mode == "crossattn_v1":
+            return self._forward_crossattn_v1(
+                x, packed, fusion_tokens, mask_info, e, deterministic
             )
 
         tokens = jnp.concatenate([packed, fusion_tokens], axis=1)  # [B, E+F, D]
@@ -402,7 +434,102 @@ def _multimae_forward_lstm(self, packed, fusion_full, mask_info, e, deterministi
     }
 
 
+def _multimae_forward_crossattn_v1(self, x, packed, fusion_full, mask_info,
+                                   e, deterministic):
+    """fusion_mode='crossattn_v1' (multimae_crossattn_20231203.py): the
+    dated dev snapshot. Fusion tokens are gathered at the packed visible
+    positions (:407-408, like the LSTM variant); every layer scatters the
+    current visible tokens into per-modality mask-embedding grids and each
+    fusion token cross-attends over its own position's modality stack
+    (:458-475 — the scatter/stack here is the one-hot MXU assembly), then
+    fus += mlp_modalities(norm(.)) (:476) before the zorro block; after
+    encoding, fusion tokens scatter back to the full grid for the output
+    adapters (:509-512) and per-modality pools use their OWN attention/MLPs
+    (:540-...; the flagship shares one attn_pool)."""
+    b = packed.shape[0]
+    f = self.num_fusion_tokens
+    t_mod = len(self.in_domains)
+    dtype = packed.dtype
+    keep = mask_info.order[:, :e] % f
+    fusion_stream = jnp.take_along_axis(fusion_full, keep[..., None], axis=1)
+
+    nums = tuple(self.num_patches for _ in self.in_domains)
+    mod_types = packed_token_types(mask_info.order, nums, e, 0, self.fusion_type)
+    slot_valid = packed_valid(mask_info.num_visible, e, 0)
+    fus_types = jnp.full((b, e), self.fusion_type, jnp.int32)
+    types = jnp.concatenate([mod_types, fus_types], axis=1)
+    valid = jnp.concatenate([slot_valid, slot_valid], axis=1)
+    types_padded = jnp.where(valid, types, PAD_TYPE)
+    use_pallas = resolve_attn_mode(self.attn_impl, 2 * e)
+
+    onehot, use = self._grid_onehot(mask_info, e, dtype)  # [B, T*F, E]
+    sel = jax.nn.one_hot(keep, f, dtype=dtype)  # [B, E, F] per-slot grid pick
+    mask_emb = self.mask_embedding.astype(dtype)
+
+    tokens = jnp.concatenate([packed, fusion_stream], axis=1)
+    for blk in self.blocks:
+        cur = tokens[:, :e, :]
+        fus = tokens[:, e:, :]
+        grid = jnp.einsum(
+            "bge,bed->bgd", onehot, cur, preferred_element_type=jnp.float32
+        ).astype(dtype)
+        grid = grid + jnp.where(use[..., None], 0, jnp.tile(mask_emb, (1, t_mod, 1)))
+        grid = grid.reshape(b, t_mod, f, self.dim_tokens)
+        ctx = jnp.einsum("bef,btfd->betd", sel, grid)  # [B, E, T, D]
+        crossed = self.attn_pool_modalities(fus, ctx)
+        fus = fus + self.mlp_modalities(self.norm(crossed))
+        tokens = jnp.concatenate([cur, fus], axis=1)
+        tokens = blk(tokens, packed_types=types_padded,
+                     fusion_type=self.fusion_type, use_pallas=use_pallas,
+                     deterministic=deterministic)
+    tokens = self.norm(tokens)
+
+    ret_types = jnp.arange(len(self.in_domains) + 1, dtype=jnp.int32)
+    pool_mask = zorro_mask_from_types(
+        jnp.broadcast_to(ret_types[None], (b, ret_types.shape[0])),
+        types, self.fusion_type, valid_k=valid,
+    )[:, None]
+    ret = jnp.broadcast_to(self.return_tokens.astype(dtype),
+                           (b,) + self.return_tokens.shape[1:])
+    ret = self.attn_pool(ret, context=tokens, attn_mask=pool_mask)
+    ret = ret + self.mlp(self.norm(ret))
+
+    fusion_part = tokens[:, e:, :]
+    # scatter back to the full fusion grid (:509-512, like multimae_lstm)
+    slot = mask_info.ids_restore
+    gathered = jnp.take_along_axis(
+        fusion_part, jnp.clip(slot, 0, e - 1)[..., None], axis=1)
+    use_r = (slot < e) & (slot < mask_info.num_visible[:, None])
+    grid_complete = fusion_full
+    for m in range(t_mod):
+        seg_use = use_r[:, m * f : (m + 1) * f]
+        seg_val = gathered[:, m * f : (m + 1) * f]
+        grid_complete = jnp.where(seg_use[..., None], seg_val, grid_complete)
+
+    preds = {d: self.output_adapters[d](grid_complete) for d in self.out_domains}
+
+    # per-modality pools with their OWN attention/MLP heads (:540-...)
+    pooled_mod = {}
+    for i, d in enumerate(self.in_domains):
+        key_mask = ((mod_types == i) & slot_valid)[:, None, None, :]
+        p = jnp.broadcast_to(self.pool_tokens[d].astype(dtype),
+                             (b, 1, self.dim_tokens))
+        p = self.pool_attn[d](p, context=fusion_part, attn_mask=key_mask)
+        p = p + self.pool_mlp[d](self.norm(p))
+        pooled_mod[d] = p[:, 0, :]
+
+    return {
+        "preds": preds,
+        "task_masks": mask_info.task_masks,
+        "pooled": ret,
+        "ori_tokens": tokens[:, :e, :],
+        "fusion_tokens": grid_complete,
+        "pooled_mod": pooled_mod,
+    }
+
+
 MultiMAE._forward_lstm = _multimae_forward_lstm
+MultiMAE._forward_crossattn_v1 = _multimae_forward_crossattn_v1
 
 
 def build_multimae(cfg) -> MultiMAE:

@@ -166,3 +166,85 @@ class TestSupBaseline:
         out = model.apply({"params": params}, x)
         assert out["pred_logits"].shape == (2, 8, 3)
         assert np.isfinite(np.asarray(out["pred_masks"])).all()
+
+
+class TestCrossattnV1:
+    """fusion_mode='crossattn_v1': the 20231203 dev snapshot
+    (multimae_crossattn_20231203.py) — gathered fusion stream, per-layer
+    cross-attention over mask-embedded modality grids, per-modality pools."""
+
+    def _model(self, domains=("s1", "s2", "dem")):
+        from incomplete_multimodal_fusion_tpu.config import (
+            DataConfig, DecoderConfig, MaskConfig, ModelConfig, PretrainConfig,
+        )
+        from incomplete_multimodal_fusion_tpu.models.multimae import build_multimae
+
+        cfg = PretrainConfig(
+            model=ModelConfig(dim_tokens=32, depth=2, dim_head=8, heads=2,
+                              ff_mult=2, num_fusion_tokens=16,
+                              fusion_mode="crossattn_v1"),
+            data=DataConfig(input_size=64, batch_size=2, in_domains=domains,
+                            out_domains=domains),
+            mask=MaskConfig(num_encoded_tokens=24),
+            decoder=DecoderConfig(dim=32, depth=1, num_heads=2),
+        )
+        return cfg, build_multimae(cfg)
+
+    def _batch(self, seed=0):
+        rng = np.random.default_rng(seed)
+        return {d: jnp.asarray(rng.standard_normal((2, 64, 64, c)), jnp.float32)
+                for d, c in (("s1", 1), ("s2", 3), ("dem", 1))}
+
+    def test_forward_and_params(self):
+        from incomplete_multimodal_fusion_tpu.ops import masking
+
+        cfg, m = self._model()
+        x = self._batch()
+        mi = masking.generate_random_masks(
+            jax.random.PRNGKey(0), ("s1", "s2", "dem"), (16,) * 3, 24, 2)
+        params = m.init(jax.random.PRNGKey(0), x, mi, 24)["params"]
+        # snapshot-specific modules: shared cross-attn + per-modality pools
+        # (multimae_crossattn_20231203.py:106-118)
+        for k in ("attn_pool_modalities", "mlp_modalities",
+                  "attn_s1", "mlp_s1", "attn_dem", "mlp_dem"):
+            assert k in params, k
+        out = m.apply({"params": params}, x, mi, 24)
+        for d in ("s1", "s2", "dem"):
+            assert np.isfinite(np.asarray(out["preds"][d])).all()
+            assert d in out["pooled_mod"]
+
+    def test_dropped_modality_invariance(self):
+        """The headline capability must hold for this variant too."""
+        from incomplete_multimodal_fusion_tpu.ops import masking
+
+        cfg, m = self._model()
+        x = self._batch(1)
+        doms = ("s1", "s2", "dem")
+        tm = {d: jnp.full((2, 16), 1 if d == "s2" else 0, jnp.int32) for d in doms}
+        mi = masking.mask_info_from_task_masks(tm, doms, 48)
+        params = m.init(jax.random.PRNGKey(1), x, mi, 48)["params"]
+        o1 = m.apply({"params": params}, x, mi, 48)
+        x2 = dict(x); x2["s2"] = x["s2"] + 50.0
+        o2 = m.apply({"params": params}, x2, mi, 48)
+        for d in doms:
+            np.testing.assert_allclose(np.asarray(o1["preds"][d]),
+                                       np.asarray(o2["preds"][d]), atol=1e-5)
+
+    def test_new_modules_receive_gradient(self):
+        from incomplete_multimodal_fusion_tpu.ops import masking
+
+        cfg, m = self._model()
+        x = self._batch(2)
+        mi = masking.generate_random_masks(
+            jax.random.PRNGKey(2), ("s1", "s2", "dem"), (16,) * 3, 24, 2)
+        params = m.init(jax.random.PRNGKey(2), x, mi, 24)["params"]
+
+        def loss(p):
+            out = m.apply({"params": p}, x, mi, 24)
+            return sum(jnp.sum(jnp.square(v)) for v in out["preds"].values()) \
+                + jnp.sum(jnp.square(out["pooled_mod"]["s1"]))
+
+        g = jax.grad(loss)(params)
+        for k in ("attn_pool_modalities", "mlp_modalities", "attn_s1"):
+            total = sum(float(jnp.abs(v).sum()) for v in jax.tree.leaves(g[k]))
+            assert total > 0, f"{k} got no gradient"
