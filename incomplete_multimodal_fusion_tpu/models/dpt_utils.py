@@ -10,10 +10,14 @@ equivalents plus a small composed ``DPTHead`` that exercises them
 end-to-end (the refinenet composition follows the standard DPT recipe the
 utilities exist for).
 
-TPU notes: everything is NHWC (XLA's native conv layout); bilinear resize
-uses jax.image (align_corners handled via the resize method semantics);
-BatchNorm is intentionally not offered — the reference only ever
-constructs these blocks with bn=False via make_fusion_block (:245-253).
+TPU notes: everything is NHWC (XLA's native conv layout). The reference's
+fusion blocks interpolate with ``align_corners=True`` (:241, :253) — a
+semantics jax.image.resize does not offer — so resizes here are exact
+separable interpolation matrices applied as two einsums (A_h @ x @ A_w^T
+with A[i, j] = hat(i*(in-1)/(out-1) - j)), which is also the MXU-friendly
+formulation. BatchNorm is intentionally not offered — the reference only
+ever constructs these blocks with bn=False via make_fusion_block
+(:245-253).
 """
 from __future__ import annotations
 
@@ -21,22 +25,48 @@ from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from .layers import LayerNorm
 
 
+def _interp_matrix(n_out: int, n_in: int, align_corners: bool) -> jnp.ndarray:
+    """[n_out, n_in] 1-D linear interpolation matrix (torch semantics)."""
+    if n_in == 1 or n_out == 1:
+        src = np.zeros(n_out)
+    elif align_corners:
+        src = np.arange(n_out) * (n_in - 1) / (n_out - 1)
+    else:
+        src = (np.arange(n_out) + 0.5) * n_in / n_out - 0.5
+        src = np.clip(src, 0, n_in - 1)
+    w = np.maximum(0.0, 1.0 - np.abs(src[:, None] - np.arange(n_in)[None, :]))
+    return jnp.asarray(w / w.sum(axis=1, keepdims=True), jnp.float32)
+
+
+def _resize_bilinear(x, nh, nw, align_corners=True):
+    """NHWC bilinear resize as two interpolation-matrix einsums."""
+    b, h, w, c = x.shape
+    ah = _interp_matrix(nh, h, align_corners).astype(x.dtype)
+    aw = _interp_matrix(nw, w, align_corners).astype(x.dtype)
+    x = jnp.einsum("oh,bhwc->bowc", ah, x)
+    return jnp.einsum("pw,bowc->bopc", aw, x)
+
+
 class Interpolate(nn.Module):
-    """Bilinear up/down-sampling by a static scale factor (:255-276)."""
+    """Bilinear up/down-sampling by a static scale factor (:255-276);
+    ``align_corners`` matches the reference call sites (fusion blocks pass
+    True, the standalone Interpolate defaults False)."""
 
     scale_factor: float = 2.0
+    align_corners: bool = False
 
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
         nh = int(round(h * self.scale_factor))
         nw = int(round(w * self.scale_factor))
-        return jax.image.resize(x, (b, nh, nw, c), method="bilinear")
+        return _resize_bilinear(x, nh, nw, self.align_corners)
 
 
 class ConvNeXtBlock(nn.Module):
@@ -90,7 +120,8 @@ class FeatureFusionBlock(nn.Module):
         if lateral is not None:
             x = x + ResidualConvUnit(self.features, name="res_unit1")(lateral)
         x = ResidualConvUnit(self.features, name="res_unit2")(x)
-        x = Interpolate(2.0, name="up")(x)
+        # align_corners=True per the reference fusion block (:241)
+        x = Interpolate(2.0, align_corners=True, name="up")(x)
         return nn.Conv(self.features, (1, 1), name="out_conv")(x)
 
 
@@ -128,7 +159,7 @@ class DPTHead(nn.Module):
         x = FeatureFusionBlock(self.features, name="refine2")(x, _match(l2, x))
         x = FeatureFusionBlock(self.features, name="refine1")(x, _match(l1, x))
         x = nn.Conv(self.features // 2, (3, 3), padding=1, name="head_conv1")(x)
-        x = Interpolate(2.0, name="head_up")(x)
+        x = Interpolate(2.0, align_corners=True, name="head_up")(x)
         x = nn.Conv(32, (3, 3), padding=1, name="head_conv2")(x)
         x = nn.relu(x)
         return nn.Conv(self.out_channels, (1, 1), name="head_out")(x)
@@ -139,6 +170,4 @@ def _match(lateral: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     from different pyramid strides)."""
     if lateral.shape[1:3] == x.shape[1:3]:
         return lateral
-    b, h, w, c = x.shape
-    return jax.image.resize(lateral, (lateral.shape[0], h, w, lateral.shape[3]),
-                            method="bilinear")
+    return _resize_bilinear(lateral, x.shape[1], x.shape[2], align_corners=True)

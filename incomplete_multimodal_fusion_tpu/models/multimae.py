@@ -56,6 +56,12 @@ from .layers import (
 )
 
 
+def _slot_use(slot, e, num_visible):
+    """Which full-grid slots hold a real packed token (single canonical
+    definition: referenced by both the grid one-hot and the scatter-back)."""
+    return (slot < e) & (slot < num_visible[:, None])
+
+
 class MultiMAE(nn.Module):
     in_domains: Tuple[str, ...] = ("s1", "s2", "dem")
     out_domains: Tuple[str, ...] = ("s1", "s2", "dem")
@@ -222,9 +228,71 @@ class MultiMAE(nn.Module):
         backward a matmul instead of a scatter)."""
         e = num_encoded_tokens
         slot = mask_info.ids_restore  # [B, T*F]
-        use = (slot < e) & (slot < mask_info.num_visible[:, None])
+        use = _slot_use(slot, e, mask_info.num_visible)
         onehot = (slot[..., None] == jnp.arange(e, dtype=slot.dtype)) & use[..., None]
         return onehot.astype(dtype), use
+
+    # ---- shared pieces of the gathered-fusion-stream variants (lstm /
+    # crossattn_v1): token-type layout, return-token pooling, grid
+    # scatter-back, per-modality pools ----
+
+    def _gathered_layout(self, mask_info: MaskInfo, e: int, b: int):
+        """types/valid for the [packed | gathered-fusion] 2E layout."""
+        nums = tuple(self.num_patches for _ in self.in_domains)
+        mod_types = packed_token_types(mask_info.order, nums, e, 0, self.fusion_type)
+        slot_valid = packed_valid(mask_info.num_visible, e, 0)
+        fus_types = jnp.full((b, e), self.fusion_type, jnp.int32)
+        types = jnp.concatenate([mod_types, fus_types], axis=1)
+        valid = jnp.concatenate([slot_valid, slot_valid], axis=1)
+        types_padded = jnp.where(valid, types, PAD_TYPE)
+        return mod_types, slot_valid, types, valid, types_padded
+
+    def _pool_returns(self, tokens, types, valid, b, dtype):
+        """Return-token attention pooling (multimae_crossattn.py:474-497)."""
+        ret_types = jnp.arange(len(self.in_domains) + 1, dtype=jnp.int32)
+        pool_mask = zorro_mask_from_types(
+            jnp.broadcast_to(ret_types[None], (b, ret_types.shape[0])),
+            types, self.fusion_type, valid_k=valid,
+        )[:, None]
+        ret = jnp.broadcast_to(
+            self.return_tokens.astype(dtype), (b,) + self.return_tokens.shape[1:]
+        )
+        ret = self.attn_pool(ret, context=tokens, attn_mask=pool_mask)
+        return ret + self.mlp(self.norm(ret))
+
+    def _scatter_back(self, fusion_part, fusion_full, mask_info: MaskInfo, e: int):
+        """Scatter packed fusion tokens back to the full F-grid
+        (multimae_lstm.py:484-494): grid position = global index % F; later
+        modalities overwrite earlier ones like the reference's sequential
+        scatter over cat(s1_idx, s2_idx, dem_idx)."""
+        f = self.num_fusion_tokens
+        slot = mask_info.ids_restore  # [B, T*F]
+        gathered = jnp.take_along_axis(
+            fusion_part, jnp.clip(slot, 0, e - 1)[..., None], axis=1)
+        use = _slot_use(slot, e, mask_info.num_visible)
+        grid_complete = fusion_full
+        for m in range(len(self.in_domains)):
+            seg_use = use[:, m * f : (m + 1) * f]
+            seg_val = gathered[:, m * f : (m + 1) * f]
+            grid_complete = jnp.where(seg_use[..., None], seg_val, grid_complete)
+        return grid_complete
+
+    def _modality_pools(self, fusion_part, mod_types, slot_valid, b, dtype,
+                        attn_for=None, mlp_for=None):
+        """Per-modality contrastive pools over the packed fusion stream;
+        attn/mlp default to the shared pool modules, crossattn_v1 passes its
+        per-modality heads."""
+        pooled_mod = {}
+        for i, d in enumerate(self.in_domains):
+            key_mask = ((mod_types == i) & slot_valid)[:, None, None, :]
+            attn = attn_for[d] if attn_for is not None else self.attn_pool
+            mlp = mlp_for[d] if mlp_for is not None else self.mlp
+            p = jnp.broadcast_to(self.pool_tokens[d].astype(dtype),
+                                 (b, 1, self.dim_tokens))
+            p = attn(p, context=fusion_part, attn_mask=key_mask)
+            p = p + mlp(self.norm(p))
+            pooled_mod[d] = p[:, 0, :]
+        return pooled_mod
 
 
     def __call__(
@@ -275,7 +343,7 @@ class MultiMAE(nn.Module):
             )
         if self.fusion_mode == "crossattn_v1":
             return self._forward_crossattn_v1(
-                x, packed, fusion_tokens, mask_info, e, deterministic
+                packed, fusion_tokens, mask_info, e, deterministic
             )
 
         tokens = jnp.concatenate([packed, fusion_tokens], axis=1)  # [B, E+F, D]
@@ -357,16 +425,15 @@ class MultiMAE(nn.Module):
 
 def _multimae_forward_lstm(self, packed, fusion_full, mask_info, e, deterministic):
     """fusion_mode='lstm' (reference multimae_lstm.py / multimae_lstm_s2dsm.py):
-    the fusion stream is gathered at the packed visible positions (:394);
+    the fusion stream is gathered at the packed visible positions (:394 —
+    fusion token per slot = grid entry at the modality-LOCAL index, i.e.
+    complete_fusion_tokens[:, cat(s1_idx, s2_idx, dem_idx)]);
     one AttentionBiLSTM fuses the [token, fusion] pair per position before
     the block loop (:437-442); after encoding, fusion tokens are scattered
     back to the full grid for the output adapters (:484-494)."""
     b = packed.shape[0]
     f = self.num_fusion_tokens
     dtype = packed.dtype
-    # fusion token per packed slot = grid entry at the modality-LOCAL index
-    # (reference complete_fusion_tokens[:, cat(s1_idx, s2_idx, dem_idx)],
-    # multimae_lstm.py:394 — each idx is local to its modality's grid)
     keep = mask_info.order[:, :e] % f
     fusion_stream = jnp.take_along_axis(fusion_full, keep[..., None], axis=1)  # [B,E,D]
 
@@ -375,13 +442,8 @@ def _multimae_forward_lstm(self, packed, fusion_full, mask_info, e, deterministi
     fused = self.attn_lstm(stack.reshape(b * e, 2, -1)).reshape(b, e, -1)
     tokens = jnp.concatenate([packed, fused], axis=1)  # [B, 2E, D]
 
-    nums = tuple(self.num_patches for _ in self.in_domains)
-    mod_types = packed_token_types(mask_info.order, nums, e, 0, self.fusion_type)
-    slot_valid = packed_valid(mask_info.num_visible, e, 0)
-    fus_types = jnp.full((b, e), self.fusion_type, jnp.int32)
-    types = jnp.concatenate([mod_types, fus_types], axis=1)
-    valid = jnp.concatenate([slot_valid, slot_valid], axis=1)
-    types_padded = jnp.where(valid, types, PAD_TYPE)
+    mod_types, slot_valid, types, valid, types_padded = self._gathered_layout(
+        mask_info, e, b)
     use_pallas = resolve_attn_mode(self.attn_impl, 2 * e)
 
     for blk in self.blocks:
@@ -389,40 +451,11 @@ def _multimae_forward_lstm(self, packed, fusion_full, mask_info, e, deterministi
                      use_pallas=use_pallas, deterministic=deterministic)
     tokens = self.norm(tokens)
 
-    ret_types = jnp.arange(len(self.in_domains) + 1, dtype=jnp.int32)
-    pool_mask = zorro_mask_from_types(
-        jnp.broadcast_to(ret_types[None], (b, ret_types.shape[0])),
-        types, self.fusion_type, valid_k=valid,
-    )[:, None]
-    ret = jnp.broadcast_to(self.return_tokens.astype(dtype), (b,) + self.return_tokens.shape[1:])
-    ret = self.attn_pool(ret, context=tokens, attn_mask=pool_mask)
-    ret = ret + self.mlp(self.norm(ret))
-
+    ret = self._pool_returns(tokens, types, valid, b, dtype)
     fusion_part = tokens[:, e:, :]  # aligned with packed slots
-    # scatter back to the full fusion grid (multimae_lstm.py:484-494)
-    slot = mask_info.ids_restore  # [B, T*F]; grid positions beyond F handled below
-    gathered = jnp.take_along_axis(fusion_part, jnp.clip(slot, 0, e - 1)[..., None], axis=1)
-    use = (slot < e) & (slot < mask_info.num_visible[:, None])
-    t_mod = len(self.in_domains)
-    # the grid has F slots; visible positions may come from any modality's
-    # section of the global index space — fold to grid position (idx % F);
-    # later modalities overwrite earlier ones like the reference's
-    # sequential scatter over cat(s1_idx, s2_idx, dem_idx)
-    grid_complete = fusion_full
-    for m in range(t_mod):
-        seg_use = use[:, m * f : (m + 1) * f]
-        seg_val = gathered[:, m * f : (m + 1) * f]
-        grid_complete = jnp.where(seg_use[..., None], seg_val, grid_complete)
-
+    grid_complete = self._scatter_back(fusion_part, fusion_full, mask_info, e)
     preds = {d: self.output_adapters[d](grid_complete) for d in self.out_domains}
-
-    pooled_mod = {}
-    for i, d in enumerate(self.in_domains):
-        key_mask = ((mod_types == i) & slot_valid)[:, None, None, :]
-        p = jnp.broadcast_to(self.pool_tokens[d].astype(dtype), (b, 1, self.dim_tokens))
-        p = self.attn_pool(p, context=fusion_part, attn_mask=key_mask)
-        p = p + self.mlp(self.norm(p))
-        pooled_mod[d] = p[:, 0, :]
+    pooled_mod = self._modality_pools(fusion_part, mod_types, slot_valid, b, dtype)
 
     return {
         "preds": preds,
@@ -434,7 +467,7 @@ def _multimae_forward_lstm(self, packed, fusion_full, mask_info, e, deterministi
     }
 
 
-def _multimae_forward_crossattn_v1(self, x, packed, fusion_full, mask_info,
+def _multimae_forward_crossattn_v1(self, packed, fusion_full, mask_info,
                                    e, deterministic):
     """fusion_mode='crossattn_v1' (multimae_crossattn_20231203.py): the
     dated dev snapshot. Fusion tokens are gathered at the packed visible
@@ -453,13 +486,8 @@ def _multimae_forward_crossattn_v1(self, x, packed, fusion_full, mask_info,
     keep = mask_info.order[:, :e] % f
     fusion_stream = jnp.take_along_axis(fusion_full, keep[..., None], axis=1)
 
-    nums = tuple(self.num_patches for _ in self.in_domains)
-    mod_types = packed_token_types(mask_info.order, nums, e, 0, self.fusion_type)
-    slot_valid = packed_valid(mask_info.num_visible, e, 0)
-    fus_types = jnp.full((b, e), self.fusion_type, jnp.int32)
-    types = jnp.concatenate([mod_types, fus_types], axis=1)
-    valid = jnp.concatenate([slot_valid, slot_valid], axis=1)
-    types_padded = jnp.where(valid, types, PAD_TYPE)
+    mod_types, slot_valid, types, valid, types_padded = self._gathered_layout(
+        mask_info, e, b)
     use_pallas = resolve_attn_mode(self.attn_impl, 2 * e)
 
     onehot, use = self._grid_onehot(mask_info, e, dtype)  # [B, T*F, E]
@@ -484,39 +512,24 @@ def _multimae_forward_crossattn_v1(self, x, packed, fusion_full, mask_info,
                      deterministic=deterministic)
     tokens = self.norm(tokens)
 
-    ret_types = jnp.arange(len(self.in_domains) + 1, dtype=jnp.int32)
-    pool_mask = zorro_mask_from_types(
-        jnp.broadcast_to(ret_types[None], (b, ret_types.shape[0])),
-        types, self.fusion_type, valid_k=valid,
-    )[:, None]
-    ret = jnp.broadcast_to(self.return_tokens.astype(dtype),
-                           (b,) + self.return_tokens.shape[1:])
-    ret = self.attn_pool(ret, context=tokens, attn_mask=pool_mask)
-    ret = ret + self.mlp(self.norm(ret))
-
+    ret = self._pool_returns(tokens, types, valid, b, dtype)
     fusion_part = tokens[:, e:, :]
-    # scatter back to the full fusion grid (:509-512, like multimae_lstm)
-    slot = mask_info.ids_restore
-    gathered = jnp.take_along_axis(
-        fusion_part, jnp.clip(slot, 0, e - 1)[..., None], axis=1)
-    use_r = (slot < e) & (slot < mask_info.num_visible[:, None])
-    grid_complete = fusion_full
-    for m in range(t_mod):
-        seg_use = use_r[:, m * f : (m + 1) * f]
-        seg_val = gathered[:, m * f : (m + 1) * f]
-        grid_complete = jnp.where(seg_use[..., None], seg_val, grid_complete)
+    grid_complete = self._scatter_back(fusion_part, fusion_full, mask_info, e)
 
-    preds = {d: self.output_adapters[d](grid_complete) for d in self.out_domains}
+    # the snapshot feeds its output adapters the completed fusion grid with
+    # full-MAE-style kwargs (:509-524); both decoder styles supported here
+    if self.decoder_style == "full":
+        preds = {
+            d: self.output_adapters[d](tokens[:, :e, :], mask_info, e)
+            for d in self.out_domains
+        }
+    else:
+        preds = {d: self.output_adapters[d](grid_complete)
+                 for d in self.out_domains}
 
-    # per-modality pools with their OWN attention/MLP heads (:540-...)
-    pooled_mod = {}
-    for i, d in enumerate(self.in_domains):
-        key_mask = ((mod_types == i) & slot_valid)[:, None, None, :]
-        p = jnp.broadcast_to(self.pool_tokens[d].astype(dtype),
-                             (b, 1, self.dim_tokens))
-        p = self.pool_attn[d](p, context=fusion_part, attn_mask=key_mask)
-        p = p + self.pool_mlp[d](self.norm(p))
-        pooled_mod[d] = p[:, 0, :]
+    pooled_mod = self._modality_pools(
+        fusion_part, mod_types, slot_valid, b, dtype,
+        attn_for=self.pool_attn, mlp_for=self.pool_mlp)
 
     return {
         "preds": preds,

@@ -54,34 +54,42 @@ def params_shardings(params, mesh: Mesh, model_axis: Optional[str] = None):
 
 
 def fsdp_shardings(params, mesh: Mesh, data_axis: str = "data",
-                   min_size: int = 2 ** 12):
+                   min_size: int = 2 ** 12,
+                   model_axis: Optional[str] = None):
     """ZeRO-3-style parameter sharding: every large-enough param is split on
     its largest axis-size-divisible dimension across the data axis; small
     params stay replicated (sharding overhead beats the memory win).
 
+    With ``model_axis`` the tensor-parallel kernel specs (param_spec) are
+    computed first and FSDP takes a *different* dimension, so TP + FSDP
+    compose instead of FSDP silently replicating the TP shards.
+
     Apply the same tree to the optimizer state (optax moments mirror the
     param tree), and GSPMD inserts per-layer all-gathers in the forward and
     reduce-scatters in the backward."""
-    axis_size = dict(zip(mesh.axis_names, mesh.devices.shape))[data_axis]
+    axis_size = mesh.shape[data_axis]
+    tp_size = mesh.shape.get(model_axis, 1) if model_axis else 1
 
-    def spec(shape) -> P:
+    def spec(path: str, shape) -> P:
+        tp = param_spec(path, shape, model_axis, tp_size)
         size = 1
         for s in shape:
             size *= s
         if size < min_size or axis_size == 1:
-            return P()
-        # shard the largest divisible dim (ties -> earliest)
+            return tp
+        taken = {i for i, ax in enumerate(tp) if ax is not None}
         best, best_dim = 0, -1
         for i, s in enumerate(shape):
-            if s % axis_size == 0 and s > best:
+            if i not in taken and s % axis_size == 0 and s > best:
                 best, best_dim = s, i
         if best_dim < 0:
-            return P()
-        return P(*[data_axis if i == best_dim else None
-                   for i in range(len(shape))])
+            return tp
+        axes = list(tp) + [None] * (len(shape) - len(tp))
+        axes[best_dim] = data_axis
+        return P(*axes)
 
     def f(path, leaf):
-        return NamedSharding(mesh, spec(leaf.shape))
+        return NamedSharding(mesh, spec(_path_str(path), leaf.shape))
 
     return jax.tree_util.tree_map_with_path(f, params)
 

@@ -70,3 +70,27 @@ def test_dpt_head_end_to_end():
     out = head.apply(params, feats)
     assert out.shape == (2, 64, 64, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_align_corners_matches_torch():
+    """_resize_bilinear(align_corners=True) must match
+    torch.nn.functional.interpolate(mode='bilinear', align_corners=True) —
+    the reference fusion blocks' semantics (output_adapter_utils.py:241)."""
+    torch = pytest.importorskip("torch")
+    from incomplete_multimodal_fusion_tpu.models.dpt_utils import _resize_bilinear
+
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((2, 7, 9, 3)).astype(np.float32)
+    ours = np.asarray(_resize_bilinear(jnp.asarray(x), 14, 18, True))
+    ref = torch.nn.functional.interpolate(
+        torch.from_numpy(x).permute(0, 3, 1, 2), size=(14, 18),
+        mode="bilinear", align_corners=True,
+    ).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+    # and align_corners=False against torch too
+    ours_f = np.asarray(_resize_bilinear(jnp.asarray(x), 14, 18, False))
+    ref_f = torch.nn.functional.interpolate(
+        torch.from_numpy(x).permute(0, 3, 1, 2), size=(14, 18),
+        mode="bilinear", align_corners=False,
+    ).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours_f, ref_f, atol=1e-5)

@@ -204,6 +204,20 @@ class TestFSDP:
             s.spec != jax.sharding.PartitionSpec()
             for s in jax.tree.leaves(p_shard)
         )
+        # TP + FSDP must COMPOSE: on a dp x tp mesh with model_axis given,
+        # a column-parallel kernel keeps 'model' on its TP dim and gains
+        # 'data' on a different dim
+        mesh2 = mesh_lib.make_mesh((4, 2), ("data", "model"))
+        both = shard_lib.fsdp_shardings(
+            state.params, mesh2, min_size=2 ** 8, model_axis="model")
+        specs = {
+            "/".join(str(getattr(q, "key", q)) for q in path): s.spec
+            for path, s in jax.tree_util.tree_flatten_with_path(both)[0]
+        }
+        tp_kernels = [v for k, v in specs.items() if k.endswith("to_kv/kernel")]
+        assert tp_kernels and any(
+            "model" in v and "data" in v for v in tp_kernels
+        ), tp_kernels
         opt_shard = shard_lib.fsdp_shardings(state.opt_state, mesh, min_size=2 ** 8)
         repl = shard_lib.replicated(mesh)
         state_f = pretrain.TrainState(
