@@ -1,0 +1,196 @@
+"""Transplant reference PyTorch MultiMAE checkpoints into flax params.
+
+Maps the state dict of the reference flagship
+(pretraining/multimae/multimae_crossattn.py — crossattn fusion, the
+pretrain_mmae.py path) onto this framework's ``models.multimae.MultiMAE``
+parameter tree. Works on plain ``{name: np.ndarray}`` dicts so torch is NOT
+required at runtime: save ``{k: v.numpy() for k, v in sd.items()}`` once and
+convert anywhere.
+
+Layout translations (torch -> flax/TPU):
+  * ``nn.Linear`` weight [out, in]         -> Dense kernel [in, out]
+  * patchify ``nn.Conv2d`` [D, C, P, P]    -> matmul kernel [(ph pw c), D]
+    (input_adapters.py:88-91 vs ops/patches.conv_patch_embed)
+  * decoder ``out_proj`` rows in (c ph pw) -> cols in (ph pw c)
+    (output_adapters_simple.py:184-188 'b (nh nw) (c ph pw)' vs NHWC
+    unpatchify's '(p1 p2 c)')
+  * fixed sin-cos pos_emb buffers are NOT transplanted — recomputed
+    (golden-tested bit-equal, tests/test_reference_parity.py)
+"""
+from __future__ import annotations
+
+from typing import Dict, Mapping, Sequence
+
+import numpy as np
+
+__all__ = ["convert_multimae_state", "strip_prefixes"]
+
+
+def strip_prefixes(state: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Drop DDP 'module.' wrappers (reference misc.py:147-171
+    load_parallal_model role)."""
+    out = {}
+    for k, v in state.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        out[k] = np.asarray(v)
+    return out
+
+
+def _lin(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(w.T)
+
+
+def _conv_patch_kernel(w: np.ndarray) -> np.ndarray:
+    """[D, C, P, P] conv weight -> [(ph pw c), D] matmul kernel."""
+    d, c, ph, pw = w.shape
+    return np.ascontiguousarray(w.transpose(2, 3, 1, 0).reshape(ph * pw * c, d))
+
+
+def _out_proj(w: np.ndarray, b: np.ndarray, c: int, p: int):
+    """out_proj Linear [(c ph pw), dim] -> kernel [dim, (ph pw c)] + bias."""
+    dim = w.shape[1]
+    k = w.reshape(c, p, p, dim).transpose(1, 2, 0, 3).reshape(p * p * c, dim)
+    bias = b.reshape(c, p, p).transpose(1, 2, 0).reshape(-1)
+    return np.ascontiguousarray(k.T), np.ascontiguousarray(bias)
+
+
+def _zorro_attention(s: Mapping[str, np.ndarray], p: str) -> Dict:
+    """zorro_utils.Attention (norm + bias-free to_q/to_kv/to_out)."""
+    return {
+        "norm": {"gamma": s[f"{p}.norm.gamma"]},
+        "to_q": {"kernel": _lin(s[f"{p}.to_q.weight"])},
+        "to_kv": {"kernel": _lin(s[f"{p}.to_kv.weight"])},
+        "to_out": {"kernel": _lin(s[f"{p}.to_out.weight"])},
+    }
+
+
+def _geglu_ff(s: Mapping[str, np.ndarray], p: str) -> Dict:
+    """zorro_utils.FeedForward Sequential(LayerNorm, Linear, GEGLU, Linear)."""
+    return {
+        "norm": {"gamma": s[f"{p}.0.gamma"]},
+        "proj_in": {"kernel": _lin(s[f"{p}.1.weight"])},
+        "proj_out": {"kernel": _lin(s[f"{p}.3.weight"])},
+    }
+
+
+def _encoder_block(s: Mapping[str, np.ndarray], p: str) -> Dict:
+    """zorro_utils.Block -> models.layers.EncoderBlock."""
+    return {
+        "norm1": {"gamma": s[f"{p}.norm1.gamma"]},
+        "attn": _zorro_attention(s, f"{p}.attn"),
+        "norm2": {"gamma": s[f"{p}.norm2.gamma"]},
+        "mlp": _geglu_ff(s, f"{p}.mlp"),
+    }
+
+
+def _fusion_block(s: Mapping[str, np.ndarray], p: str) -> Dict:
+    """zorro_utils.Block_Fusion -> models.layers.FusionBlock(Fast)
+    (the attention is inlined there: attn_norm/to_q/to_kv/to_out at top)."""
+    return {
+        "norm1": {"gamma": s[f"{p}.norm1.gamma"]},
+        "attn_norm": {"gamma": s[f"{p}.attn.norm.gamma"]},
+        "to_q": {"kernel": _lin(s[f"{p}.attn.to_q.weight"])},
+        "to_kv": {"kernel": _lin(s[f"{p}.attn.to_kv.weight"])},
+        "to_out": {"kernel": _lin(s[f"{p}.attn.to_out.weight"])},
+        "norm2": {"gamma": s[f"{p}.norm2.gamma"]},
+        "mlp": _geglu_ff(s, f"{p}.mlp"),
+    }
+
+
+def _mlp(s: Mapping[str, np.ndarray], p: str) -> Dict:
+    """multimae_utils/zorro_utils Mlp (fc1/fc2 with biases)."""
+    return {
+        "fc1": {"kernel": _lin(s[f"{p}.fc1.weight"]), "bias": s[f"{p}.fc1.bias"]},
+        "fc2": {"kernel": _lin(s[f"{p}.fc2.weight"]), "bias": s[f"{p}.fc2.bias"]},
+    }
+
+
+def _vit_block(s: Mapping[str, np.ndarray], p: str) -> Dict:
+    """multimae_utils.Block (standard ViT block, LayerNorm eps 1e-6 with
+    bias, fused qkv) -> models.layers.ViTBlock."""
+    out = {
+        "norm1": {"gamma": s[f"{p}.norm1.weight"], "beta": s[f"{p}.norm1.bias"]},
+        "attn": {
+            "qkv": {"kernel": _lin(s[f"{p}.attn.qkv.weight"])},
+            "proj": {"kernel": _lin(s[f"{p}.attn.proj.weight"]),
+                     "bias": s[f"{p}.attn.proj.bias"]},
+        },
+        "norm2": {"gamma": s[f"{p}.norm2.weight"], "beta": s[f"{p}.norm2.bias"]},
+        "mlp": _mlp(s, f"{p}.mlp"),
+    }
+    if f"{p}.attn.qkv.bias" in s:
+        out["attn"]["qkv"]["bias"] = s[f"{p}.attn.qkv.bias"]
+    return out
+
+
+def _input_adapter(s: Mapping[str, np.ndarray], p: str) -> Dict:
+    """PatchedInputAdapter (conv patchify; input_adapters.py:27-119) or
+    SemSegInputAdapter (class emb + conv; :209-328)."""
+    out = {
+        "proj_kernel": _conv_patch_kernel(s[f"{p}.proj.weight"]),
+        "proj_bias": s[f"{p}.proj.bias"],
+    }
+    if f"{p}.class_emb.weight" in s:
+        out["class_emb"] = s[f"{p}.class_emb.weight"]
+    return out
+
+
+def _output_adapter_simple(
+    s: Mapping[str, np.ndarray], p: str, task: str, num_channels: int,
+    patch: int, depth: int,
+) -> Dict:
+    """SpatialOutputAdapter (output_adapters_simple.py:33-188). Only this
+    task's embedding is live in the forward (:178-181); the other context
+    tasks' embeddings are created but never read — deliberately dropped."""
+    out = {
+        "proj_context": {
+            "kernel": _lin(s[f"{p}.proj_context.weight"]),
+            "bias": s[f"{p}.proj_context.bias"],
+        },
+        "task_emb": s[f"{p}.task_embeddings.{task}"],
+    }
+    for i in range(depth):
+        out[f"block{i}"] = _vit_block(s, f"{p}.decoder_transformer.{i}")
+    k, b = _out_proj(s[f"{p}.out_proj.weight"], s[f"{p}.out_proj.bias"],
+                     num_channels, patch)
+    out["out_proj"] = {"kernel": k, "bias": b}
+    return out
+
+
+def convert_multimae_state(
+    state: Mapping[str, np.ndarray],
+    in_domains: Sequence[str],
+    out_domains: Sequence[str],
+    out_channels: Mapping[str, int],
+    patch_size: int = 16,
+    depth: int = 12,
+    decoder_depth: int = 2,
+) -> Dict:
+    """Reference MultiMAE (crossattn) state dict -> flax params tree for
+    ``models.multimae.MultiMAE(fusion_mode='crossattn')``.
+
+    ``out_channels``: per out-domain reconstruction channel count (class
+    count for semseg domains).
+    """
+    s = strip_prefixes(state)
+    params: Dict = {
+        "fusion_tokens": s["fusion_tokens"],
+        "return_tokens": s["return_tokens"],
+        "mask_embedding": s["mask_embedding"],
+        "norm": {"gamma": s["norm.gamma"]},
+        "attn_pool": _zorro_attention(s, "attn_pool"),
+        "mlp": _mlp(s, "mlp"),
+    }
+    for d in in_domains:
+        params[f"return_token_{d}"] = s[f"return_token_{d}"]
+        params[f"input_adapter_{d}"] = _input_adapter(s, f"input_adapters.{d}")
+    for i in range(depth):
+        params[f"block{i}"] = _encoder_block(s, f"blocks.{i}")
+        params[f"fus_block{i}"] = _fusion_block(s, f"fus_blocks.{i}")
+    for d in out_domains:
+        params[f"output_adapter_{d}"] = _output_adapter_simple(
+            s, f"output_adapters.{d}", d, out_channels[d], patch_size,
+            decoder_depth,
+        )
+    return params
