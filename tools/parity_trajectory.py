@@ -1,0 +1,287 @@
+"""Training-trajectory + reconstruction-PSNR parity vs the PyTorch reference.
+
+Round-2 verdict Missing #3 / the BASELINE.json north star's second half:
+from the SAME transplanted init, on the SAME synthetic DFC2023-layout data,
+with IDENTICAL per-step masks, run N AdamW steps of
+
+  * the reference loop (pretrain_mmae.py:421-556 semantics: MaskedMSE s1/s2
+    + MaskedL1 dem + 0.3 * dino contrastive) under torch-CPU, and
+  * this framework's own loss (train/pretrain.make_loss_fn) under JAX-CPU,
+
+and compare the loss curves step for step, then measure masked
+reconstruction PSNR of both models on a held-out batch.
+
+Usage:
+    python tools/parity_trajectory.py --steps 200 --out PARITY_TRAJ.json
+
+torch is required (it executes the reference); the committed numbers live in
+PARITY.md. A fast smoke version runs in tests/test_trajectory_parity.py.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(__file__))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+DOMAINS = ("s1", "s2", "dem")
+CHANNELS = {"s1": 1, "s2": 3, "dem": 1}
+IMG, PATCH = 64, 16
+N_P = (IMG // PATCH) ** 2  # tokens per modality
+E = 24  # encoded tokens per step
+LR = 1e-4
+BETAS = (0.9, 0.95)
+EPS = 1e-8
+
+
+def make_masks(rng: np.random.Generator, n_steps: int):
+    """Per-step exactly-E-visible masks, Dirichlet task budgets
+    (multimae_crossattn.py:205-278 semantics, drawn host-side once so both
+    frameworks consume the identical masks)."""
+    masks = []
+    for _ in range(n_steps):
+        dist = rng.dirichlet(np.ones(len(DOMAINS)))
+        per_task = np.round(dist * E).astype(int)
+        flat = np.ones(len(DOMAINS) * N_P, np.int64)
+        for t in range(len(DOMAINS)):
+            vis = rng.permutation(N_P)[: per_task[t]]
+            flat[t * N_P + vis] = 0
+        # fix rounding to exactly E visible (reference :264-272)
+        n_vis = int((flat == 0).sum())
+        if n_vis > E:
+            on = np.flatnonzero(flat == 0)
+            flat[rng.choice(on, n_vis - E, replace=False)] = 1
+        elif n_vis < E:
+            off = np.flatnonzero(flat == 1)
+            flat[rng.choice(off, E - n_vis, replace=False)] = 0
+        masks.append({
+            d: flat[i * N_P : (i + 1) * N_P].copy()
+            for i, d in enumerate(DOMAINS)
+        })
+    return masks
+
+
+def make_batches(rng: np.random.Generator, n: int, batch: int):
+    from incomplete_multimodal_fusion_tpu.data.synthetic import synthetic_batch
+
+    return [synthetic_batch(rng, DOMAINS, batch, IMG) for _ in range(n)]
+
+
+def run_torch(model, batches, masks, steps):
+    import torch
+
+    from ref_loader import load_reference_modules
+
+    _, _, _, crit = load_reference_modules()
+    loss_fns = {
+        "s1": crit.MaskedMSELoss(patch_size=PATCH),
+        "s2": crit.MaskedMSELoss(patch_size=PATCH),
+        "dem": crit.MaskedL1Loss(patch_size=PATCH),
+    }
+    opt = torch.optim.AdamW(model.parameters(), lr=LR, betas=BETAS, eps=EPS,
+                            weight_decay=0.0)
+    losses = []
+    model.train()
+    for i in range(steps):
+        nb = batches[i % len(batches)]
+        x = {d: torch.from_numpy(nb[d].transpose(0, 3, 1, 2)).contiguous()
+             for d in DOMAINS}
+        b = x["s1"].shape[0]
+        tm = {d: torch.from_numpy(masks[i % len(masks)][d])[None].repeat(b, 1)
+              for d in DOMAINS}
+        preds, m_out, pooled, _ori, _fus, t_s1, t_s2, t_dem = model.forward(
+            x, mask_inputs=True, task_masks=tm, num_encoded_tokens=E,
+        )
+        task_losses = {
+            d: loss_fns[d](preds[d].float(), x[d], mask=m_out.get(d))
+            for d in DOMAINS
+        }
+        feats = torch.chunk(pooled, 4, dim=1)
+        contra = (
+            crit.dino_loss_func(t_s1.squeeze(1), feats[0].squeeze(1))
+            + crit.dino_loss_func(t_s2.squeeze(1), feats[1].squeeze(1))
+            + crit.dino_loss_func(t_dem.squeeze(1), feats[2].squeeze(1))
+        )
+        loss = sum(task_losses.values()) + 0.3 * contra
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        losses.append(float(loss.item()))
+    return losses
+
+
+def run_jax(params, batches, masks, steps):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from incomplete_multimodal_fusion_tpu.config import (
+        DataConfig, DecoderConfig, MaskConfig, ModelConfig, OptimConfig,
+        PretrainConfig, TrainConfig,
+    )
+    from incomplete_multimodal_fusion_tpu.models.multimae import build_multimae
+    from incomplete_multimodal_fusion_tpu.ops import masking
+    from incomplete_multimodal_fusion_tpu.train import pretrain
+
+    cfg = PretrainConfig(
+        model=ModelConfig(dim_tokens=64, depth=2, dim_head=16, heads=2,
+                          ff_mult=4, num_fusion_tokens=N_P, attn_impl="xla"),
+        data=DataConfig(input_size=IMG, patch_size=PATCH, batch_size=4),
+        mask=MaskConfig(num_encoded_tokens=E),
+        decoder=DecoderConfig(dim=32, depth=2, num_heads=2),
+        optim=OptimConfig(task_balancer="none"),
+        train=TrainConfig(compute_dtype="float32"),
+    )
+    model = build_multimae(cfg)
+    loss_fn = pretrain.make_loss_fn(model, cfg)
+    tx = optax.adamw(LR, b1=BETAS[0], b2=BETAS[1], eps=EPS, weight_decay=0.0)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, batch, mask_info):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, {}, batch, mask_info, jax.random.PRNGKey(0)
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for i in range(steps):
+        nb = batches[i % len(batches)]
+        batch = {d: jnp.asarray(nb[d]) for d in DOMAINS}
+        b = batch["s1"].shape[0]
+        tm = {
+            d: jnp.broadcast_to(
+                jnp.asarray(masks[i % len(masks)][d], jnp.int32)[None],
+                (b, N_P),
+            )
+            for d in DOMAINS
+        }
+        mi = masking.mask_info_from_task_masks(tm, DOMAINS, E)
+        params, opt_state, loss = step(params, opt_state, batch, mi)
+        losses.append(float(loss))
+    return params, model, losses
+
+
+def masked_psnr_jax(model, params, nb, mask, data_range: float):
+    import jax.numpy as jnp
+
+    from incomplete_multimodal_fusion_tpu.ops import masking
+
+    batch = {d: jnp.asarray(nb[d]) for d in DOMAINS}
+    b = batch["s1"].shape[0]
+    tm = {d: jnp.broadcast_to(jnp.asarray(mask[d], jnp.int32)[None], (b, N_P))
+          for d in DOMAINS}
+    mi = masking.mask_info_from_task_masks(tm, DOMAINS, E)
+    out = model.apply({"params": params}, batch, mi, E)
+    return {
+        d: _psnr(np.asarray(out["preds"][d]), nb[d], mask[d], data_range)
+        for d in DOMAINS
+    }
+
+
+def masked_psnr_torch(model, nb, mask, data_range: float):
+    import torch
+
+    x = {d: torch.from_numpy(nb[d].transpose(0, 3, 1, 2)).contiguous()
+         for d in DOMAINS}
+    b = x["s1"].shape[0]
+    tm = {d: torch.from_numpy(mask[d])[None].repeat(b, 1) for d in DOMAINS}
+    model.eval()
+    with torch.no_grad():
+        preds = model.forward(x, mask_inputs=True, task_masks=tm,
+                              num_encoded_tokens=E)[0]
+    return {
+        d: _psnr(preds[d].numpy().transpose(0, 2, 3, 1), nb[d], mask[d],
+                 data_range)
+        for d in DOMAINS
+    }
+
+
+def _psnr(pred_nhwc, tgt_nhwc, patch_mask, data_range: float) -> float:
+    """PSNR over MASKED patches only (the reconstruction target)."""
+    b, h, w, c = pred_nhwc.shape
+    n = h // PATCH
+    pm = patch_mask.reshape(n, n).astype(bool)
+    pix = np.repeat(np.repeat(pm, PATCH, 0), PATCH, 1)  # [H, W]
+    diff = (pred_nhwc - tgt_nhwc)[:, pix, :]
+    mse = float(np.mean(diff ** 2))
+    return float(10.0 * np.log10(data_range ** 2 / max(mse, 1e-12)))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--n_batches", type=int, default=8)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    # JAX on CPU, fp32, highest matmul precision (parity conditions)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    from incomplete_multimodal_fusion_tpu.utils.torch_convert import (
+        convert_multimae_state,
+    )
+    from ref_loader import build_reference_multimae
+
+    rng = np.random.default_rng(20260817)
+    batches = make_batches(rng, args.n_batches, args.batch)
+    masks = make_masks(rng, min(args.steps, 64))
+    eval_batch = make_batches(rng, 1, args.batch)[0]
+    # balanced eval mask (E/3 visible per modality) so every modality has
+    # masked patches to score PSNR on
+    eval_mask = {}
+    for d in DOMAINS:
+        m = np.ones(N_P, np.int64)
+        m[rng.permutation(N_P)[: E // len(DOMAINS)]] = 0
+        eval_mask[d] = m
+    data_range = float(
+        max(np.ptp(eval_batch[d]) for d in DOMAINS)
+    )
+
+    model_t = build_reference_multimae(seed=3)
+    state = {k: v.numpy().copy() for k, v in model_t.state_dict().items()}
+    params = convert_multimae_state(state, DOMAINS, DOMAINS, CHANNELS,
+                                    patch_size=PATCH, depth=2, decoder_depth=2)
+
+    losses_t = run_torch(model_t, batches, masks, args.steps)
+    params_j, model_j, losses_j = run_jax(params, batches, masks, args.steps)
+
+    lt, lj = np.asarray(losses_t), np.asarray(losses_j)
+    rel = np.abs(lt - lj) / np.abs(lt)
+    psnr_t = masked_psnr_torch(model_t, eval_batch, eval_mask, data_range)
+    psnr_j = masked_psnr_jax(model_j, params_j, eval_batch, eval_mask,
+                             data_range)
+    result = {
+        "steps": args.steps,
+        "loss_torch_first": lt[0], "loss_jax_first": lj[0],
+        "loss_torch_final": lt[-1], "loss_jax_final": lj[-1],
+        "max_rel_loss_diff": float(rel.max()),
+        "mean_rel_loss_diff": float(rel.mean()),
+        "final_rel_loss_diff": float(rel[-1]),
+        "loss_decreased_torch": bool(lt[-1] < lt[0]),
+        "loss_decreased_jax": bool(lj[-1] < lj[0]),
+        "masked_psnr_torch": psnr_t,
+        "masked_psnr_jax": psnr_j,
+        "psnr_abs_diff": {d: abs(psnr_t[d] - psnr_j[d]) for d in DOMAINS},
+        "losses_torch": [float(v) for v in lt],
+        "losses_jax": [float(v) for v in lj],
+    }
+    print(json.dumps({k: v for k, v in result.items()
+                      if not k.startswith("losses_")}, indent=2))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
