@@ -158,6 +158,17 @@ def _output_adapter_simple(
     return out
 
 
+def _snapshot_cross_attention(s: Mapping[str, np.ndarray], p: str) -> Dict:
+    """zorro_utils.CrossAttention (q/kv bias-free, proj with bias) ->
+    models.layers.SnapshotCrossAttention."""
+    return {
+        "q": {"kernel": _lin(s[f"{p}.q.weight"])},
+        "kv": {"kernel": _lin(s[f"{p}.kv.weight"])},
+        "proj": {"kernel": _lin(s[f"{p}.proj.weight"]),
+                 "bias": s[f"{p}.proj.bias"]},
+    }
+
+
 def convert_multimae_state(
     state: Mapping[str, np.ndarray],
     in_domains: Sequence[str],
@@ -166,10 +177,15 @@ def convert_multimae_state(
     patch_size: int = 16,
     depth: int = 12,
     decoder_depth: int = 2,
+    fusion_mode: str = "crossattn",
 ) -> Dict:
-    """Reference MultiMAE (crossattn) state dict -> flax params tree for
-    ``models.multimae.MultiMAE(fusion_mode='crossattn')``.
+    """Reference MultiMAE state dict -> flax params tree for
+    ``models.multimae.MultiMAE``.
 
+    ``fusion_mode='crossattn'``: the flagship (multimae_crossattn.py) with
+    per-layer Block_Fusion. ``fusion_mode='crossattn_v1'``: the 20231203
+    snapshot (multimae_crossattn_20231203.py) — shared per-layer
+    cross-attention + per-modality pool heads instead of fus_blocks.
     ``out_channels``: per out-domain reconstruction channel count (class
     count for semseg domains).
     """
@@ -187,7 +203,15 @@ def convert_multimae_state(
         params[f"input_adapter_{d}"] = _input_adapter(s, f"input_adapters.{d}")
     for i in range(depth):
         params[f"block{i}"] = _encoder_block(s, f"blocks.{i}")
-        params[f"fus_block{i}"] = _fusion_block(s, f"fus_blocks.{i}")
+        if fusion_mode == "crossattn":
+            params[f"fus_block{i}"] = _fusion_block(s, f"fus_blocks.{i}")
+    if fusion_mode == "crossattn_v1":
+        params["attn_pool_modalities"] = _snapshot_cross_attention(
+            s, "attn_pool_modalities")
+        params["mlp_modalities"] = _mlp(s, "mlp_modalities")
+        for d in in_domains:
+            params[f"attn_{d}"] = _zorro_attention(s, f"attn_{d}")
+            params[f"mlp_{d}"] = _mlp(s, f"mlp_{d}")
     for d in out_domains:
         params[f"output_adapter_{d}"] = _output_adapter_simple(
             s, f"output_adapters.{d}", d, out_channels[d], patch_size,
