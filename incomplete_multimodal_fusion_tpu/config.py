@@ -68,6 +68,9 @@ class DecoderConfig:
     use_task_queries: bool = True
     use_xattn: bool = True
     style: str = "simple"  # 'simple' | 'full' (output_adapters{_simple,}.py)
+    # batch the task-generic decoder trunk across tasks (stacked params +
+    # vmap); identical math + checkpoint layout, T x fewer small kernels
+    batch_tasks: bool = True
 
 
 @dataclass(frozen=True)

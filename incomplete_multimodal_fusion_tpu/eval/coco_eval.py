@@ -97,8 +97,12 @@ class CocoMaskEvaluator:
         gt_classes = np.asarray(gt_classes)
         # areas are mask areas in both modes (COCO convention: 'area' is the
         # segment area, used for the size breakdown in bbox eval too)
-        pred_areas = np.asarray(pred_masks, bool).reshape(len(pred_masks), -1).sum(1)
-        gt_areas = np.asarray(gt_masks, bool).reshape(len(gt_masks), -1).sum(1)
+        # sum over all but the instance axis; tuple form keeps zero-instance
+        # images legal (reshape(0, -1) cannot infer the trailing dim)
+        pred_areas = np.asarray(pred_masks, bool).sum(
+            axis=tuple(range(1, max(pred_masks.ndim, 2))))
+        gt_areas = np.asarray(gt_masks, bool).sum(
+            axis=tuple(range(1, max(gt_masks.ndim, 2))))
 
         if self.iou_type == "bbox":
             pb = pred_boxes[order] if pred_boxes is not None else boxes_from_masks(pred_masks)

@@ -229,7 +229,7 @@ class SpatialOutputAdapter(nn.Module):
 
     @nn.compact
     def __call__(self, encoder_tokens: jnp.ndarray, image_size: Optional[Tuple[int, int]] = None,
-                 use_pallas=False):
+                 use_pallas=False, trunk_only=False):
         h, w = image_size or (self.image_size, self.image_size)
         p = self.p
         n_h = h // (self.stride_level * p)
@@ -244,6 +244,11 @@ class SpatialOutputAdapter(nn.Module):
             x = ViTBlock(
                 num_heads=self.num_heads, qkv_bias=self.qkv_bias, norm_eps=1e-6, name=f"block{i}"
             )(x, use_pallas=use_pallas)
+        if trunk_only:
+            # task-generic part only (proj/emb/blocks share shapes across
+            # tasks) — MultiMAE._decode_simple batches it over tasks and
+            # applies the per-task out_proj itself
+            return x
         x = nn.Dense(
             self.num_channels * p * p,
             kernel_init=nn.initializers.xavier_uniform(),

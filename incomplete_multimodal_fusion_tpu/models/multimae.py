@@ -44,6 +44,7 @@ from ..ops.attention import (
 from ..ops.pallas_attn import PAD_TYPE, resolve_attn_mode
 from ..ops.masking import MaskInfo
 from ..ops.posemb import build_2d_sincos_posemb
+from ..ops.patches import unpatchify
 from .adapters import PatchedInputAdapter, SemSegInputAdapter, SpatialOutputAdapter
 from .layers import (
     BiaslessLayerNorm,
@@ -84,6 +85,12 @@ class MultiMAE(nn.Module):
     # path all reference drivers use); 'full' = MAE-style mask-token decoder
     # over the visible tokens (output_adapters.py)
     decoder_style: str = "simple"
+    # run the task-generic decoder trunk (proj_context/task_emb/blocks) once
+    # for ALL tasks via stacked params + vmap instead of T sequential adapter
+    # calls — T x fewer small-attention kernels per step, identical math and
+    # identical checkpoint layout (per-task out_proj applied separately since
+    # its width differs per task)
+    decoder_batch_tasks: bool = True
 
     @property
     def num_patches(self) -> int:
@@ -220,6 +227,66 @@ class MultiMAE(nn.Module):
                 for d in self.in_domains
             }
         self.norm = BiaslessLayerNorm(name="norm")
+
+    def _decode_simple(self, grid: jnp.ndarray, use_pallas: bool = False):
+        """Per-task reconstruction from the fusion-token grid.
+
+        When ``decoder_batch_tasks`` is on, the task-generic trunk
+        (proj_context + task_emb + decoder blocks — identical shapes across
+        tasks) runs ONCE for all T tasks: per-task params are stacked on a
+        leading axis and the trunk is vmapped, turning T sequential
+        dim-256/n-256 attention+MLP chains into one batched chain (T x fewer
+        kernel launches; the per-task out_proj, whose width C*p^2 differs by
+        task, is applied separately). Identical math and parameter layout —
+        checkpoints and the torch weight transplant are unaffected.
+        """
+        doms = self.out_domains
+        ads = self.output_adapters
+        same_trunk = all(
+            (ads[d].patch_size, ads[d].image_size, ads[d].stride_level,
+             ads[d].dim_tokens, ads[d].depth, ads[d].num_heads, ads[d].qkv_bias)
+            == (ads[doms[0]].patch_size, ads[doms[0]].image_size,
+                ads[doms[0]].stride_level, ads[doms[0]].dim_tokens,
+                ads[doms[0]].depth, ads[doms[0]].num_heads, ads[doms[0]].qkv_bias)
+            for d in doms
+        )
+        if (self.is_initializing() or not self.decoder_batch_tasks
+                or len(doms) < 2 or not same_trunk):
+            return {d: ads[d](grid, use_pallas=use_pallas) for d in doms}
+
+        task_params = [ads[d].variables["params"] for d in doms]
+        trunk = jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[{k: v for k, v in p.items() if k != "out_proj"} for p in task_params],
+        )
+        tmpl = SpatialOutputAdapter(
+            num_channels=1,  # unused on the trunk path
+            patch_size=ads[doms[0]].patch_size,
+            image_size=ads[doms[0]].image_size,
+            stride_level=ads[doms[0]].stride_level,
+            dim_tokens=ads[doms[0]].dim_tokens,
+            depth=ads[doms[0]].depth,
+            num_heads=ads[doms[0]].num_heads,
+            qkv_bias=ads[doms[0]].qkv_bias,
+            parent=None,
+        )
+        feats = jax.vmap(
+            lambda p, t: tmpl.apply({"params": p}, t, trunk_only=True,
+                                    use_pallas=use_pallas),
+            in_axes=(0, None),
+        )(trunk, grid)  # [T, B, F, dec_dim]
+
+        preds = {}
+        for i, d in enumerate(doms):
+            ad = ads[d]
+            w = task_params[i]["out_proj"]["kernel"]
+            bias = task_params[i]["out_proj"]["bias"]
+            x = feats[i] @ w + bias
+            p = ad.p
+            n_h = ad.image_size // (ad.stride_level * p)
+            n_w = n_h
+            preds[d] = unpatchify(x, p, n_h, n_w, ad.num_channels)
+        return preds
 
     def _grid_onehot(self, mask_info: MaskInfo, num_encoded_tokens: int, dtype):
         """One-hot scatter matrix [B, T*F, E] mapping packed slots to grid
@@ -396,12 +463,7 @@ class MultiMAE(nn.Module):
                 for d in self.out_domains
             }
         else:
-            preds = {
-                d: self.output_adapters[d](
-                    encoder_fusion_tokens, use_pallas=use_pallas
-                )
-                for d in self.out_domains
-            }
+            preds = self._decode_simple(encoder_fusion_tokens, use_pallas=use_pallas)
 
         # contrastive pools over fusion tokens at each modality's visible
         # positions (multimae_crossattn.py:529-543)
@@ -454,7 +516,7 @@ def _multimae_forward_lstm(self, packed, fusion_full, mask_info, e, deterministi
     ret = self._pool_returns(tokens, types, valid, b, dtype)
     fusion_part = tokens[:, e:, :]  # aligned with packed slots
     grid_complete = self._scatter_back(fusion_part, fusion_full, mask_info, e)
-    preds = {d: self.output_adapters[d](grid_complete) for d in self.out_domains}
+    preds = self._decode_simple(grid_complete)
     pooled_mod = self._modality_pools(fusion_part, mod_types, slot_valid, b, dtype)
 
     return {
@@ -524,8 +586,7 @@ def _multimae_forward_crossattn_v1(self, packed, fusion_full, mask_info,
             for d in self.out_domains
         }
     else:
-        preds = {d: self.output_adapters[d](grid_complete)
-                 for d in self.out_domains}
+        preds = self._decode_simple(grid_complete)
 
     pooled_mod = self._modality_pools(
         fusion_part, mod_types, slot_valid, b, dtype,
@@ -565,4 +626,5 @@ def build_multimae(cfg) -> MultiMAE:
         decoder_depth=cfg.decoder.depth,
         decoder_num_heads=cfg.decoder.num_heads,
         decoder_style=cfg.decoder.style,
+        decoder_batch_tasks=cfg.decoder.batch_tasks,
     )

@@ -49,6 +49,18 @@ class TestCocoEvaluator:
         s = ev.summarize()
         assert s["AP50"] < 1.0
 
+    def test_zero_predictions_is_a_miss_not_a_crash(self):
+        """Images where every prediction was filtered out (common early in
+        training) must count as pure misses (cocoeval.py tolerates empty
+        dt lists)."""
+        ev = CocoMaskEvaluator(num_classes=1)
+        gt = np.zeros((1, 8, 8)); gt[0, :4] = 1
+        ev.add_image(np.zeros((0, 8, 8)), np.zeros(0, np.int32),
+                     np.zeros(0), gt, np.asarray([0]))
+        s = ev.summarize()
+        assert s["AP"] == pytest.approx(0.0)
+        assert s["AP50"] == pytest.approx(0.0)
+
     def test_missing_class_excluded(self):
         ev = CocoMaskEvaluator(num_classes=3)
         gt = np.zeros((1, 8, 8)); gt[0, :4] = 1

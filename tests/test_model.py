@@ -179,6 +179,42 @@ class TestForward:
         assert out["preds"]["s2"].shape == (2, IMG, IMG, 3)
 
 
+class TestBatchedDecoder:
+    def test_batched_trunk_matches_sequential(self, model_and_params):
+        """decoder_batch_tasks stacks the task-generic trunk params and vmaps
+        one chain over tasks — must be numerically identical to T sequential
+        adapter calls (same params, same math, different batching)."""
+        model, params = model_and_params  # batch_tasks defaults True
+        model_seq = tiny_model(decoder_batch_tasks=False)
+        x = batch(7)
+        mi = masking.generate_random_masks(
+            jax.random.PRNGKey(3), DOMAINS, (NP_,) * 3, 24, 2)
+        ob = model.apply({"params": params}, x, mi, 24)
+        os_ = model_seq.apply({"params": params}, x, mi, 24)
+        for d in DOMAINS:
+            np.testing.assert_allclose(
+                np.asarray(ob["preds"][d]), np.asarray(os_["preds"][d]), atol=1e-5)
+
+    def test_batched_grads_match_sequential(self, model_and_params):
+        model, params = model_and_params
+        model_seq = tiny_model(decoder_batch_tasks=False)
+        x = batch(8)
+        mi = masking.full_visible_mask_info(DOMAINS, (NP_,) * 3, 2)
+
+        def loss(m):
+            def f(p):
+                out = m.apply({"params": p}, x, mi, 3 * NP_)
+                return sum(jnp.sum(v ** 2) for v in out["preds"].values())
+            return jax.grad(f)(params)
+
+        gb, gs = loss(model), loss(model_seq)
+        for a, b_ in zip(jax.tree.leaves(gb), jax.tree.leaves(gs)):
+            # different reduction order (vmapped stack vs sequential) ->
+            # fp32 accumulation noise; bound abs error, not tight rel
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-3, atol=1e-4)
+
+
 class TestFusionBlockEquivalence:
     def test_fusion_row_only_equals_full_attention(self):
         """FusionBlock computes attention for the fusion-row query only; the

@@ -166,6 +166,22 @@ class TestDataParallel:
         assert np.isfinite(float(m["loss"]))
 
 
+class TestHybridMesh:
+    def test_single_slice_falls_back_to_flat_mesh(self):
+        """CPU test devices carry no slice_index -> one slice -> hybrid_mesh
+        must degrade to a plain mesh of the same overall shape so
+        hybrid-layout code runs unchanged on one slice."""
+        mesh = mesh_lib.hybrid_mesh((1, 2), axes=("data", "model"))
+        assert mesh.axis_names == ("data", "model")
+        assert mesh.devices.size == 8
+        assert mesh.devices.shape == (4, 2)  # -1 data dim absorbed 8/2
+
+    def test_dcn_dp_one_is_flat(self):
+        mesh = mesh_lib.hybrid_mesh((8,), axes=("data",),
+                                    dcn_data_parallelism=1)
+        assert mesh.devices.shape == (8,)
+
+
 class TestCheckpoint:
     def test_save_restore_roundtrip(self, tmp_path):
         from incomplete_multimodal_fusion_tpu.utils import checkpoint as ckpt
