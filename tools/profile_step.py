@@ -51,33 +51,42 @@ def capture(out_dir: str, n_steps: int):
     jax.profiler.stop_trace()
 
 
-def walk(node, depth=0, rows=None):
-    rows = rows if rows is not None else []
-    m = node.get("metrics", {})
-    rows.append((m.get("time", 0.0), node.get("name", "?"), depth,
-                 m.get("flops", 0.0), m.get("bandwidthUtils", [])))
-    for c in node.get("children", []):
-        walk(c, depth + 1, rows)
-    return rows
-
-
 def report(out_dir: str, top: int, n_steps: int):
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
+    """Aggregate the Chrome-format trace (vm.trace.json.gz) by op name on
+    the device lanes (the tensorboard_plugin_profile converter is broken in
+    this environment — TF version mismatch)."""
+    import gzip
+    from collections import defaultdict
 
-    files = glob.glob(os.path.join(out_dir, "plugins/profile/*/*.xplane.pb"))
-    assert files, f"no xplane under {out_dir}"
-    data, _ = rtd.xspace_to_tool_data(files, "op_profile", {})
-    d = json.loads(data if isinstance(data, str) else data.decode())
-    root = d.get("byProgram") or d.get("byCategory")
-    rows = walk(root)
-    # leaf ops only (no children) sorted by time fraction
-    leaves = [r for r in rows if r[2] >= 2]
-    leaves.sort(reverse=True)
-    total = root.get("metrics", {}).get("time", 1.0)
-    print(f"top {top} ops by time share (of device total; {n_steps} steps):")
-    for t, name, depth, flops, bw in leaves[:top]:
-        print(f"  {t*100:6.2f}%  {name[:110]}")
-    return d
+    files = glob.glob(os.path.join(out_dir, "plugins/profile/*/*.trace.json.gz"))
+    assert files, f"no trace.json.gz under {out_dir}"
+    d = json.loads(gzip.open(sorted(files)[-1]).read())
+    events = d["traceEvents"]
+    # device lanes: pids whose process_name metadata mentions TPU/device
+    names = {}
+    for ev in events:
+        if ev.get("ph") == "M" and ev.get("name") == "process_name":
+            names[ev["pid"]] = ev.get("args", {}).get("name", "")
+    dev_pids = {p for p, n in names.items()
+                if "TPU" in n or "/device" in n.lower() or "Device" in n}
+    if not dev_pids:  # CPU-backend traces label lanes differently
+        dev_pids = {p for p, n in names.items() if "XLA" in n or "CPU" in n}
+    agg = defaultdict(float)
+    cnt = defaultdict(int)
+    total = 0.0
+    for ev in events:
+        if ev.get("ph") == "X" and "dur" in ev and ev.get("pid") in dev_pids:
+            agg[ev["name"]] += ev["dur"]
+            cnt[ev["name"]] += 1
+            total += ev["dur"]
+    rows = sorted(agg.items(), key=lambda kv: -kv[1])
+    print(f"device lanes: {[names[p] for p in dev_pids]}")
+    print(f"total device-op time: {total/1e3:.2f} ms over {n_steps} steps "
+          f"({total/1e3/max(n_steps,1):.2f} ms/step)")
+    print(f"top {top} ops by device time:")
+    for name, us in rows[:top]:
+        print(f"  {us/1e3/max(n_steps,1):7.3f} ms/step  x{cnt[name]//max(n_steps,1):<4d} {name[:100]}")
+    return rows
 
 
 def main():

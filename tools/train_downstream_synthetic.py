@@ -72,6 +72,10 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--clip", type=float, default=0.01)
     ap.add_argument("--eval_images", type=int, default=16)
+    ap.add_argument("--frozen_stages", type=int, default=0,
+                    help="0 = train everything from scratch; 11 = the "
+                         "reference recipe (frozen encoder, trainable "
+                         "pyramid/head) — much cheaper to compile")
     ap.add_argument("--out", default=None)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -93,7 +97,7 @@ def main():
     )
     from incomplete_multimodal_fusion_tpu.train import downstream as ds
 
-    cfg = MaskFormerConfig(frozen_stages=0)  # from-scratch: nothing frozen
+    cfg = MaskFormerConfig(frozen_stages=args.frozen_stages)
     model = MaskFormerModel(cfg)
     rng = np.random.default_rng(20260817)
 
@@ -104,7 +108,8 @@ def main():
     b0 = {d: jnp.asarray(pool[0][0][d]) for d in DOMAINS}
     params = model.init(jax.random.PRNGKey(0), b0)["params"]
     tx = ds.create_downstream_optimizer(
-        params, lr=args.lr, clip_grad=args.clip, frozen_stages=0)
+        params, lr=args.lr, clip_grad=args.clip,
+        frozen_stages=args.frozen_stages)
     state = ds.DownstreamState(
         step=jnp.zeros((), jnp.int32), params=params,
         opt_state=tx.init(params), rng=jax.random.PRNGKey(1),
@@ -157,6 +162,7 @@ def main():
         "batch": args.batch,
         "lr": args.lr,
         "clip": args.clip,
+        "frozen_stages": args.frozen_stages,
         "loss_curve": losses,
         "loss_first": losses[0][1],
         "loss_last": losses[-1][1],
