@@ -153,8 +153,6 @@ def main():
         ).items()
     }
 
-    lowered = step.lower(state, batch)  # aval-only; for MFU cost analysis
-
     # warmup / compile; float() forces a device->host transfer, a hard sync
     # (block_until_ready alone can return early through the remote tunnel)
     for _ in range(3):
@@ -171,26 +169,35 @@ def main():
     steps_per_sec = n_steps / dt
     patches_per_sec = steps_per_sec * b * patches_per_sample
 
-    # MFU estimate (round-2 verdict Do#4): XLA's own flop count for the
-    # compiled train step against the chip's bf16 peak — roofline-anchors
-    # the throughput number. v5e/v5litepod bf16 peak = 197 TFLOP/s.
-    mfu_rec = None
-    try:
-        cost = lowered.compile().cost_analysis()
+    # MFU estimate (round-2 verdict Do#4): flop count for the train step
+    # against the chip's bf16 peak — roofline-anchors the throughput number.
+    # XLA's cost_analysis does NOT count custom-call (Pallas kernel) flops
+    # (traces show model_flops=0 on every tpu_custom_call), so the count is
+    # taken from the all-XLA variant of the SAME math (attn_impl='xla'
+    # routes attention AND the fused FFNs through plain XLA ops) — compiled
+    # only for counting, never run. v5e/v5litepod bf16 peak = 197 TFLOP/s.
+    def compute_mfu():
+        import dataclasses as _dc
+
+        cfg_xla = _dc.replace(cfg, model=_dc.replace(cfg.model, attn_impl="xla"))
+        model_x, _, _ = pretrain.create_train_state(
+            cfg_xla, jax.random.PRNGKey(0), total_steps=1000
+        )
+        step_x = jax.jit(pretrain.make_train_step(model_x, cfg_xla, tx))
+        cost = step_x.lower(state, batch).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops_per_step = float(cost.get("flops", 0.0))
         kind = jax.devices()[0].device_kind.lower()
         peak = 197e12 if ("v5 lite" in kind or "v5e" in kind) else None
         if flops_per_step > 0 and peak:
-            mfu_rec = {
+            return {
                 "metric": "pretrain_step_mfu_estimate",
                 "value": round(100.0 * flops_per_step * steps_per_sec / peak, 2),
-                "unit": f"% of bf16 peak ({kind}, XLA-counted "
-                        f"{flops_per_step / 1e12:.2f} TFLOP/step)",
+                "unit": f"% of bf16 peak ({kind}, {flops_per_step / 1e12:.2f} "
+                        "TFLOP/step counted on the all-XLA variant)",
             }
-    except Exception:
-        pass
+        return None
 
     # ---- companion metrics (VERDICT #3): extra JSON lines, primary last.
     # Each is wall-clock-budgeted: remote compiles through the axon tunnel
@@ -205,8 +212,12 @@ def main():
         print(json.dumps(rec))
         extras[rec["metric"]] = rec
 
-    if mfu_rec is not None:
-        emit(mfu_rec)
+    try:
+        mfu_rec = compute_mfu()  # one extra compile (counting only, no run)
+        if mfu_rec is not None:
+            emit(mfu_rec)
+    except Exception as exc:
+        emit({"metric": "pretrain_step_mfu_estimate", "error": str(exc)[:200]})
     try:
         p50_ms = bench_infer_latency()
         emit({"metric": "infer_tile_latency_p50", "value": round(p50_ms, 2),

@@ -69,8 +69,11 @@ class DecoderConfig:
     use_xattn: bool = True
     style: str = "simple"  # 'simple' | 'full' (output_adapters{_simple,}.py)
     # batch the task-generic decoder trunk across tasks (stacked params +
-    # vmap); identical math + checkpoint layout, T x fewer small kernels
-    batch_tasks: bool = True
+    # vmap); identical math + checkpoint layout. Measured SLOWER on v5e-1
+    # (64.8 vs 61.5 ms/step: XLA overlaps the two sequential task chains
+    # better than one vmapped chain), so off by default — kept as an option
+    # for configs with many output tasks.
+    batch_tasks: bool = False
 
 
 @dataclass(frozen=True)

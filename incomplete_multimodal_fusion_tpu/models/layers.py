@@ -373,6 +373,9 @@ class FusionBlockFast(nn.Module):
         to_q = nn.Dense(inner, use_bias=False, kernel_init=nn.initializers.xavier_uniform(), name="to_q")
         to_kv = nn.Dense(inner * 2, use_bias=False, kernel_init=xavier_uniform_fused(2), name="to_kv")
 
+        # (A merged norm+KV over the concatenated [packed; fusion] buffer was
+        # measured and REVERTED: 59.4 -> 62.0 ms/step — XLA overlaps the two
+        # smaller norm/matmul chains better than one merged chain.)
         h_packed = attn_norm(norm1(packed))
         h_mask = attn_norm(norm1(mask_emb))
         h_fus = attn_norm(norm1(fusion))
@@ -430,7 +433,10 @@ class ViTSelfAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, use_pallas=False):
-        del use_pallas  # kept for call-site stability; XLA wins at this size
+        from ..ops.pallas_small_attn import (
+            small_attention, small_attention_supported,
+        )
+
         b, n, c = x.shape
         hd = c // self.num_heads
         qkv = nn.Dense(
@@ -438,11 +444,18 @@ class ViTSelfAttention(nn.Module):
         )(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
-        def hs(t):
-            return t.reshape(b, n, self.num_heads, hd)
+        if use_pallas and small_attention_supported(n, c, hd):
+            # fused whole-row kernel: the [N, N] f32 sim stays in VMEM (the
+            # XLA path materializes [B, H, N, N] f32 in HBM — measured
+            # ~9 TFLOP/s at the decoder's n=256/dh=32). The earlier
+            # per-(batch,head)-program Pallas routing that lost to XLA at
+            # this size is superseded by this per-batch-row design.
+            out = small_attention(q, k, v, self.num_heads, hd)
+        else:
+            def hs(t):
+                return t.reshape(b, n, self.num_heads, hd)
 
-        out = multihead_attention(hs(q), hs(k), hs(v))
-        out = out.reshape(b, n, c)
+            out = multihead_attention(hs(q), hs(k), hs(v)).reshape(b, n, c)
         return nn.Dense(c, kernel_init=nn.initializers.xavier_uniform(), name="proj")(out)
 
 

@@ -87,10 +87,10 @@ class MultiMAE(nn.Module):
     decoder_style: str = "simple"
     # run the task-generic decoder trunk (proj_context/task_emb/blocks) once
     # for ALL tasks via stacked params + vmap instead of T sequential adapter
-    # calls — T x fewer small-attention kernels per step, identical math and
-    # identical checkpoint layout (per-task out_proj applied separately since
-    # its width differs per task)
-    decoder_batch_tasks: bool = True
+    # calls; identical math and checkpoint layout (per-task out_proj applied
+    # separately since its width differs per task). Off by default — see
+    # DecoderConfig.batch_tasks
+    decoder_batch_tasks: bool = False
 
     @property
     def num_patches(self) -> int:

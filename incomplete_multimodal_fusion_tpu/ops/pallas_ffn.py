@@ -21,6 +21,7 @@ weight/gamma grads in f32 VMEM scratch across the sequential row-tile grid.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -34,11 +35,18 @@ _SQRT_2 = 1.4142135623730951
 _INV_SQRT_2PI = 0.3989422804014327
 
 
-def _row_tile(m: int, inner: int = 512) -> int:
+def _row_tile(m: int, inner: int = 512, n_bufs: int = 3) -> int:
     """Largest MXU-aligned row tile dividing m whose f32 working set
-    (~3 [TM, 2I] activation buffers) stays within VMEM budget."""
-    for tm in (1024, 512, 256, 128):
-        if m % tm == 0 and m // tm >= 2 and tm * 2 * inner * 4 * 3 <= 8e6:
+    (~n_bufs [TM, 2I] activation buffers) stays within VMEM budget.
+    Forward needs ~1.5 buffers (u + gelu product); backward ~3 (u, du,
+    da/dx temporaries) — so the forward gets a looser VMEM budget and can
+    run more rows per program (768 divides both 60*640 and 60*256)."""
+    budget = 8e6 if n_bufs >= 3 else 13e6
+    if os.environ.get("FFN_FWD_NBUFS"):  # experiment override (bench A/B)
+        n_bufs = max(n_bufs, int(os.environ["FFN_FWD_NBUFS"]))
+        budget = 8e6 if n_bufs >= 3 else 13e6
+    for tm in (2048, 1024, 768, 512, 256, 128):
+        if m % tm == 0 and m // tm >= 2 and tm * 2 * inner * 4 * n_bufs <= budget:
             return tm
     return 0
 
@@ -177,7 +185,7 @@ def geglu_ffn(x, gamma, w_in, w_out):
 def _ffn_fwd_impl(x, gamma, w_in, w_out):
     m, d = x.shape
     inner = w_out.shape[0]
-    tm = _row_tile(m, inner)
+    tm = _row_tile(m, inner, n_bufs=2)
     interpret = interpret_mode()
     xspec, gspec, winspec, woutspec = _specs(m, d, inner, tm)
     return pl.pallas_call(
@@ -333,7 +341,7 @@ def _mlp_fwd_impl(x, w1, b1, w2, b2):
     m, d = x.shape
     hidden = w1.shape[1]
     out = w2.shape[1]
-    tm = _row_tile(m, hidden // 2)
+    tm = _row_tile(m, hidden // 2, n_bufs=2)
     interpret = interpret_mode()
     xspec, w1s, b1s, w2s, b2s, yspec = _mlp_specs(d, hidden, out, tm)
     return pl.pallas_call(

@@ -184,7 +184,8 @@ class TestBatchedDecoder:
         """decoder_batch_tasks stacks the task-generic trunk params and vmaps
         one chain over tasks — must be numerically identical to T sequential
         adapter calls (same params, same math, different batching)."""
-        model, params = model_and_params  # batch_tasks defaults True
+        _, params = model_and_params
+        model = tiny_model(decoder_batch_tasks=True)
         model_seq = tiny_model(decoder_batch_tasks=False)
         x = batch(7)
         mi = masking.generate_random_masks(
@@ -196,7 +197,8 @@ class TestBatchedDecoder:
                 np.asarray(ob["preds"][d]), np.asarray(os_["preds"][d]), atol=1e-5)
 
     def test_batched_grads_match_sequential(self, model_and_params):
-        model, params = model_and_params
+        _, params = model_and_params
+        model = tiny_model(decoder_batch_tasks=True)
         model_seq = tiny_model(decoder_batch_tasks=False)
         x = batch(8)
         mi = masking.full_visible_mask_info(DOMAINS, (NP_,) * 3, 2)
