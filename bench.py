@@ -220,8 +220,20 @@ def main():
         emit({"metric": "pretrain_step_mfu_estimate", "error": str(exc)[:200]})
     try:
         p50_ms = bench_infer_latency()
-        emit({"metric": "infer_tile_latency_p50", "value": round(p50_ms, 2),
-              "unit": "ms"})
+        rec = {"metric": "infer_tile_latency_p50", "value": round(p50_ms, 2),
+               "unit": "ms"}
+        # tools/profile_infer.py decomposes this number: the measured null
+        # RTT (trivial jitted op, dispatch+fetch through the axon tunnel)
+        # IS the floor — 8 chained dependent forwards add ~0 ms over one
+        # null round-trip, i.e. on-device compute is <0.1 ms/forward.
+        try:
+            with open(os.path.join(ROOT, "INFER_LATENCY_BREAKDOWN.json")) as f:
+                bd = json.load(f)
+            rec["tunnel_rtt_floor_ms"] = bd["null_rtt_ms"]
+            rec["on_device_compute_ms"] = max(0.0, bd["chained_fwd_ms_per_call"])
+        except Exception:
+            pass
+        emit(rec)
     except Exception as exc:  # never block the primary metric
         emit({"metric": "infer_tile_latency_p50", "error": str(exc)[:200]})
     if time.perf_counter() - t_start < budget_s:
