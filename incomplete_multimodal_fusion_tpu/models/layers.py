@@ -275,15 +275,54 @@ class EncoderBlock(nn.Module):
     heads: int = 8
     ff_mult: int = 4
     drop_path: float = 0.0
+    # route the whole attention half-block through the single fused Pallas
+    # kernel (ops/pallas_block_attn.py). Measured SLOWER at the flagship
+    # shape on v5e-1 (57.3 -> 65.5 ms/step: XLA's big batched projection
+    # matmuls + op overlap beat one sequential per-batch-row kernel), so
+    # off by default — parity-tested and kept for shapes where the
+    # intermediate HBM traffic dominates.
+    fused_block: bool = False
 
     @nn.compact
     def __call__(self, x, attn_mask=None, packed_types=None, fusion_type=None,
                  use_pallas=False, deterministic: bool = True):
-        h = ZorroAttention(dim_head=self.dim_head, heads=self.heads, name="attn")(
-            BiaslessLayerNorm(name="norm1")(x), attn_mask=attn_mask,
-            packed_types=packed_types, fusion_type=fusion_type, use_pallas=use_pallas,
+        from ..ops.pallas_block_attn import (
+            block_attn_supported, fused_block_attn, fused_block_attn_auto,
         )
-        x = x + DropPath(self.drop_path, name="dp1")(h, deterministic)
+
+        norm1 = BiaslessLayerNorm(name="norm1")
+        attn = ZorroAttention(dim_head=self.dim_head, heads=self.heads,
+                              name="attn")
+        b, n, d = x.shape
+        inner = self.dim_head * self.heads
+        if (self.fused_block and use_pallas and packed_types is not None
+                and attn_mask is None
+                and (self.drop_path == 0.0 or deterministic)
+                and block_attn_supported(n, d, inner)):
+            # whole attention half-block in one Pallas kernel (norm1 +
+            # attn-norm + q/kv proj + zorro attention + out proj +
+            # residual; ops/pallas_block_attn.py). The 1-token calls below
+            # only materialize the child params — identical names/shapes
+            # to the unfused path, so checkpoints interchange — and their
+            # results are dead code XLA eliminates.
+            _ = norm1(x[:, :1, :])
+            _ = attn(x[:, :1, :], packed_types=packed_types[:, :1],
+                     fusion_type=fusion_type)
+            g1 = norm1.variables["params"]["gamma"].reshape(1, d)
+            ap = attn.variables["params"]
+            fn = (fused_block_attn_auto if use_pallas == "auto"
+                  else fused_block_attn)
+            x = fn(x, packed_types, g1,
+                   ap["norm"]["gamma"].reshape(1, d), ap["to_q"]["kernel"],
+                   ap["to_kv"]["kernel"], ap["to_out"]["kernel"],
+                   self.heads, fusion_type)
+        else:
+            h = attn(
+                norm1(x), attn_mask=attn_mask,
+                packed_types=packed_types, fusion_type=fusion_type,
+                use_pallas=use_pallas,
+            )
+            x = x + DropPath(self.drop_path, name="dp1")(h, deterministic)
         h = GEGLUFeedForward(mult=self.ff_mult, name="mlp")(
             BiaslessLayerNorm(name="norm2")(x), use_pallas=use_pallas
         )

@@ -92,19 +92,22 @@ def _bwd_kernel(types_ref, q_ref, k_ref, v_ref, o_ref, do_ref,
     ) * scale
     sim = jnp.where(_allowed(t, fusion_type), sim, NEG_INF)
     p = jax.nn.softmax(sim, axis=-1)  # [N, N] f32
+    # bf16 matmul operands, f32 accumulation (see _bwd_kernel_packed note)
+    pb = p.astype(v.dtype)
+    dob = do_ref[0]
     dv_ref[0] = jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        pb, dob, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ).astype(dv_ref.dtype)
     dp = jax.lax.dot_general(
-        do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        dob, v, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     d = jnp.sum(do * o, axis=-1, keepdims=True)  # [N, 1]
-    ds = p * (dp - d)
-    dq_ref[0] = (jnp.dot(ds, k.astype(jnp.float32),
+    ds = (p * (dp - d)).astype(q.dtype)
+    dq_ref[0] = (jnp.dot(ds, k,
                          preferred_element_type=jnp.float32) * scale).astype(dq_ref.dtype)
     dk_ref[0] = (jax.lax.dot_general(
-        ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        ds, q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale).astype(dk_ref.dtype)
 
@@ -157,20 +160,23 @@ def _bwd_kernel_tiled(types_ref, q_ref, k_ref, v_ref, o_ref, do_ref,
     sim = jnp.where(allowed, sim, NEG_INF)
     p = jax.nn.softmax(sim, axis=-1)  # [TQ, N] f32
 
+    # bf16 matmul operands, f32 accumulation (see _bwd_kernel_packed note)
+    pb = p.astype(v.dtype)
+    dob = do_ref[0]
     dv_t = jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        pb, dob, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )  # [N, dh]
     dp = jax.lax.dot_general(
-        do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        dob, v, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     d = jnp.sum(do * o, axis=-1, keepdims=True)
-    ds = p * (dp - d)
-    dq_ref[0] = (jnp.dot(ds, k.astype(jnp.float32),
+    ds = (p * (dp - d)).astype(q.dtype)
+    dq_ref[0] = (jnp.dot(ds, k,
                          preferred_element_type=jnp.float32) * scale
                  ).astype(dq_ref.dtype)
     dk_t = jax.lax.dot_general(
-        ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        ds, q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale  # [N, dh]
 
@@ -363,20 +369,25 @@ def _bwd_kernel_packed(types_ref, q_ref, k_ref, v_ref, o_ref, do_ref,
         sim = jnp.where(allowed, sim, NEG_INF)
         p = jnp.exp(sim - jnp.max(sim, axis=-1, keepdims=True))
         p = p / jnp.sum(p, axis=-1, keepdims=True)
+        # matmul operands in bf16 (f32 accumulation) — f32 MXU matmuls run
+        # at a fraction of the bf16 rate; this mirrors the forward's own
+        # p.astype(v.dtype) contraction and standard flash-backward practice
+        pb = p.astype(v.dtype)
+        dob = do_ref[0, :, sl]
         dv_ref[0, :, sl] = jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            pb, dob, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         ).astype(dv_ref.dtype)
         dp = jax.lax.dot_general(
-            do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            dob, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         d = jnp.sum(do * o, axis=-1, keepdims=True)
-        ds = p * (dp - d)
+        ds = (p * (dp - d)).astype(q.dtype)
         dq_ref[0, :, sl] = (jnp.dot(
-            ds, k.astype(jnp.float32), preferred_element_type=jnp.float32
+            ds, k, preferred_element_type=jnp.float32
         ) * scale).astype(dq_ref.dtype)
         dk_ref[0, :, sl] = (jax.lax.dot_general(
-            ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            ds, q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale).astype(dk_ref.dtype)
 
