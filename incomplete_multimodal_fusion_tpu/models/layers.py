@@ -204,16 +204,18 @@ class ZorroAttention(nn.Module):
         from ..ops.attention import zorro_mask_from_padded_types
         from ..ops.pallas_attn import (
             PAD_TYPE, packed_supported, zorro_self_attention,
-            zorro_self_attention_auto, zorro_self_attention_packed,
-            zorro_self_attention_packed_auto,
+            zorro_self_attention_auto, zorro_self_attention_packed_qkv,
+            zorro_self_attention_packed_qkv_auto,
         )
 
         inner = self.dim_head * self.heads
         x = BiaslessLayerNorm(name="norm")(x)
         kv_x = context if context is not None else x
-        q = nn.Dense(inner, use_bias=False, kernel_init=nn.initializers.xavier_uniform(), name="to_q")(x)
-        kv = nn.Dense(inner * 2, use_bias=False, kernel_init=xavier_uniform_fused(2), name="to_kv")(kv_x)
-        k, v = jnp.split(kv, 2, axis=-1)
+        to_q = nn.Dense(inner, use_bias=False,
+                        kernel_init=nn.initializers.xavier_uniform(),
+                        name="to_q")
+        to_kv = nn.Dense(inner * 2, use_bias=False,
+                         kernel_init=xavier_uniform_fused(2), name="to_kv")
 
         def heads_split(t):
             return t.reshape(*t.shape[:-1], self.heads, self.dim_head)
@@ -221,24 +223,42 @@ class ZorroAttention(nn.Module):
         if packed_types is not None and context is None and use_pallas:
             # use_pallas: True = force the kernel; "auto" = resolved per
             # lowering platform (Pallas on TPU, XLA mask elsewhere).
-            # Slab sizes use the packed-layout kernel (q/k/v stay
-            # [B, N, inner] — no XLA-side head transposes); the q-tiled
-            # flash kernels for larger N keep the [B*H, N, dh] layout.
-            if packed_supported(q.shape[1]):
-                fn = (zorro_self_attention_packed_auto if use_pallas == "auto"
-                      else zorro_self_attention_packed)
-                out2d = fn(q, k, v, packed_types, self.heads, fusion_type)
+            # Slab sizes use the packed-layout fused-qkv kernel: q/kv are
+            # projected by ONE matmul against the concatenated weights and
+            # the [B, N, 3I] slab feeds the kernel whole (head slices are
+            # static lane offsets in VMEM) — per-column matmul results are
+            # bitwise those of separate to_q/to_kv projections, and XLA no
+            # longer materializes split copies to feed the custom call.
+            # The q-tiled flash kernels for larger N keep [B*H, N, dh].
+            if packed_supported(x.shape[1]):
+                # 1-token calls only materialize the child params (same
+                # names/shapes as the unfused path); results are dead code
+                _ = to_q(x[:, :1, :])
+                _ = to_kv(x[:, :1, :])
+                w_qkv = jnp.concatenate(
+                    [to_q.variables["params"]["kernel"],
+                     to_kv.variables["params"]["kernel"]], axis=1)
+                qkv = jnp.dot(x, w_qkv.astype(x.dtype))
+                fn = (zorro_self_attention_packed_qkv_auto
+                      if use_pallas == "auto"
+                      else zorro_self_attention_packed_qkv)
+                out2d = fn(qkv, packed_types, self.heads, fusion_type)
             else:
+                q = to_q(x)
+                k, v = jnp.split(to_kv(x), 2, axis=-1)
                 fn = (zorro_self_attention_auto if use_pallas == "auto"
                       else zorro_self_attention)
                 out2d = fn(
                     heads_split(q), heads_split(k), heads_split(v),
                     packed_types, fusion_type,
-                ).reshape(q.shape[0], q.shape[1], inner)
+                ).reshape(x.shape[0], x.shape[1], inner)
             return nn.Dense(
                 x.shape[-1], use_bias=False,
                 kernel_init=nn.initializers.xavier_uniform(), name="to_out"
             )(out2d)
+        q = to_q(x)
+        kv = to_kv(kv_x)
+        k, v = jnp.split(kv, 2, axis=-1)
         if packed_types is not None and attn_mask is None:
             attn_mask = zorro_mask_from_padded_types(
                 packed_types, fusion_type, PAD_TYPE
@@ -473,7 +493,7 @@ class ViTSelfAttention(nn.Module):
     @nn.compact
     def __call__(self, x, use_pallas=False):
         from ..ops.pallas_small_attn import (
-            small_attention, small_attention_supported,
+            small_attention_qkv, small_attention_supported,
         )
 
         b, n, c = x.shape
@@ -481,16 +501,19 @@ class ViTSelfAttention(nn.Module):
         qkv = nn.Dense(
             c * 3, use_bias=self.qkv_bias, kernel_init=xavier_uniform_fused(3), name="qkv"
         )(x)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
 
         if use_pallas and small_attention_supported(n, c, hd):
             # fused whole-row kernel: the [N, N] f32 sim stays in VMEM (the
             # XLA path materializes [B, H, N, N] f32 in HBM — measured
-            # ~9 TFLOP/s at the decoder's n=256/dh=32). The earlier
+            # ~9 TFLOP/s at the decoder's n=256/dh=32), consuming the fused
+            # [B, N, 3C] projection whole (static lane slices) so XLA emits
+            # no split copies around the custom call. The earlier
             # per-(batch,head)-program Pallas routing that lost to XLA at
             # this size is superseded by this per-batch-row design.
-            out = small_attention(q, k, v, self.num_heads, hd)
+            out = small_attention_qkv(qkv, self.num_heads, hd)
         else:
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+
             def hs(t):
                 return t.reshape(b, n, self.num_heads, hd)
 

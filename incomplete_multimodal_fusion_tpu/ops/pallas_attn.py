@@ -392,6 +392,170 @@ def _bwd_kernel_packed(types_ref, q_ref, k_ref, v_ref, o_ref, do_ref,
         ) * scale).astype(dk_ref.dtype)
 
 
+def _fwd_kernel_packed_qkv(types_ref, qkv_ref, o_ref, *, scale, fusion_type,
+                           heads, dh):
+    """Packed kernel over the FUSED [N, 3I] qkv slab: q/k/v are static lane
+    slices of one operand, so XLA never materializes split copies of the
+    projection output just to feed the custom call (round-3 profile:
+    ~0.4 ms/step of [B, N, I] copies at the flagship shape)."""
+    t = types_ref[0, 0]
+    allowed = _allowed(t, fusion_type)
+    inner = heads * dh
+    for h in range(heads):
+        q = qkv_ref[0, :, h * dh:(h + 1) * dh]
+        k = qkv_ref[0, :, inner + h * dh:inner + (h + 1) * dh]
+        v = qkv_ref[0, :, 2 * inner + h * dh:2 * inner + (h + 1) * dh]
+        sim = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        sim = jnp.where(allowed, sim, NEG_INF)
+        p = jax.nn.softmax(sim, axis=-1)
+        o_ref[0, :, h * dh:(h + 1) * dh] = jnp.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        ).astype(o_ref.dtype)
+
+
+def _bwd_kernel_packed_qkv(types_ref, qkv_ref, o_ref, do_ref, dqkv_ref, *,
+                           scale, fusion_type, heads, dh):
+    t = types_ref[0, 0]
+    allowed = _allowed(t, fusion_type)
+    inner = heads * dh
+    for h in range(heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        q = qkv_ref[0, :, h * dh:(h + 1) * dh]
+        k = qkv_ref[0, :, inner + h * dh:inner + (h + 1) * dh]
+        v = qkv_ref[0, :, 2 * inner + h * dh:2 * inner + (h + 1) * dh]
+        o = o_ref[0, :, sl].astype(jnp.float32)
+        do = do_ref[0, :, sl].astype(jnp.float32)
+        sim = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        sim = jnp.where(allowed, sim, NEG_INF)
+        p = jnp.exp(sim - jnp.max(sim, axis=-1, keepdims=True))
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        pb = p.astype(v.dtype)
+        dob = do_ref[0, :, sl]
+        dqkv_ref[0, :, 2 * inner + h * dh:2 * inner + (h + 1) * dh] = (
+            jax.lax.dot_general(
+                pb, dob, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dqkv_ref.dtype))
+        dp = jax.lax.dot_general(
+            dob, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        d = jnp.sum(do * o, axis=-1, keepdims=True)
+        ds = (p * (dp - d)).astype(q.dtype)
+        dqkv_ref[0, :, h * dh:(h + 1) * dh] = (jnp.dot(
+            ds, k, preferred_element_type=jnp.float32
+        ) * scale).astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, inner + h * dh:inner + (h + 1) * dh] = (
+            jax.lax.dot_general(
+                ds, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale).astype(dqkv_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _zorro_attention_packed_qkv(qkv, types, heads, scale, fusion_type):
+    """qkv: [B, N, 3I] fused [q|k|v]; types: [B, 1, N]. Returns [B, N, I]."""
+    return _packed_qkv_fwd_impl(qkv, types, heads, scale, fusion_type)
+
+
+def _packed_qkv_fwd_impl(qkv, types, heads, scale, fusion_type):
+    b, n, three_i = qkv.shape
+    inner = three_i // 3
+    dh = inner // heads
+    qkvspec = pl.BlockSpec((1, n, three_i), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((1, n, inner), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    tspec = pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_packed_qkv, scale=scale,
+                          fusion_type=fusion_type, heads=heads, dh=dh),
+        grid=(b,),
+        in_specs=[tspec, qkvspec],
+        out_specs=ospec,
+        out_shape=jax.ShapeDtypeStruct((b, n, inner), qkv.dtype),
+        interpret=interpret_mode(),
+    )(types, qkv)
+
+
+def _packed_qkv_fwd(qkv, types, heads, scale, fusion_type):
+    o = _packed_qkv_fwd_impl(qkv, types, heads, scale, fusion_type)
+    return o, (qkv, types, o)
+
+
+def _packed_qkv_bwd(heads, scale, fusion_type, res, do):
+    qkv, types, o = res
+    b, n, three_i = qkv.shape
+    inner = three_i // 3
+    dh = inner // heads
+    qkvspec = pl.BlockSpec((1, n, three_i), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((1, n, inner), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    tspec = pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    dqkv = pl.pallas_call(
+        functools.partial(_bwd_kernel_packed_qkv, scale=scale,
+                          fusion_type=fusion_type, heads=heads, dh=dh),
+        grid=(b,),
+        in_specs=[tspec, qkvspec, ospec, ospec],
+        out_specs=qkvspec,
+        out_shape=jax.ShapeDtypeStruct(qkv.shape, qkv.dtype),
+        interpret=interpret_mode(),
+    )(types, qkv, o, do)
+    return dqkv, None
+
+
+_zorro_attention_packed_qkv.defvjp(_packed_qkv_fwd, _packed_qkv_bwd)
+
+
+def zorro_self_attention_packed_qkv(qkv, types, heads, fusion_type,
+                                    scale=None):
+    """Fused zorro attention over the fused [B, N, 3I] qkv projection —
+    no XLA-side split copies in or out (grads come back as one dqkv)."""
+    b, n, three_i = qkv.shape
+    inner = three_i // 3
+    if scale is None:
+        scale = (inner // heads) ** -0.5
+    return _zorro_attention_packed_qkv(
+        qkv, types.astype(jnp.int32)[:, None, :], heads, scale,
+        int(fusion_type),
+    )
+
+
+def _packed_qkv_xla(qkv, types, heads, fusion_type, scale):
+    from .attention import multihead_attention, zorro_mask_from_padded_types
+
+    b, n, three_i = qkv.shape
+    inner = three_i // 3
+    dh = inner // heads
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def hs(t):
+        return t.reshape(b, n, heads, dh)
+
+    mask = zorro_mask_from_padded_types(types, fusion_type, PAD_TYPE)[:, None]
+    out = multihead_attention(hs(q), hs(k), hs(v), mask=mask, scale=scale)
+    return out.reshape(b, n, inner)
+
+
+def zorro_self_attention_packed_qkv_auto(qkv, types, heads, fusion_type,
+                                         scale=None):
+    """Platform-resolved fused-qkv packed zorro attention."""
+    def tpu_path(qkv, types):
+        return zorro_self_attention_packed_qkv(qkv, types, heads, fusion_type,
+                                               scale)
+
+    def xla_path(qkv, types):
+        return _packed_qkv_xla(qkv, types, heads, fusion_type, scale)
+
+    return jax.lax.platform_dependent(qkv, types, tpu=tpu_path,
+                                      default=xla_path)
+
+
 def _specs_packed(n: int, inner: int):
     xspec = pl.BlockSpec((1, n, inner), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     tspec = pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)

@@ -129,6 +129,110 @@ def _bwd_rule(heads, dh, res, dy):
 _small_attention.defvjp(_fwd_rule, _bwd_rule)
 
 
+def _fwd_kernel_qkv(qkv_ref, o_ref, *, heads: int, dh: int):
+    """Fused-qkv variant: q/k/v are static lane slices of one [N, 3I] slab,
+    so XLA never materializes split copies to feed the custom call."""
+    scale = dh ** -0.5
+    inner = heads * dh
+    for h in range(heads):
+        q = qkv_ref[0, :, h * dh:(h + 1) * dh]
+        k = qkv_ref[0, :, inner + h * dh:inner + (h + 1) * dh]
+        v = qkv_ref[0, :, 2 * inner + h * dh:2 * inner + (h + 1) * dh]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        p = jax.nn.softmax(s, axis=-1)
+        o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        o_ref[0, :, h * dh:(h + 1) * dh] = o.astype(o_ref.dtype)
+
+
+def _bwd_kernel_qkv(qkv_ref, dy_ref, dqkv_ref, *, heads: int, dh: int):
+    scale = dh ** -0.5
+    inner = heads * dh
+    for h in range(heads):
+        q = qkv_ref[0, :, h * dh:(h + 1) * dh]
+        k = qkv_ref[0, :, inner + h * dh:inner + (h + 1) * dh]
+        v = qkv_ref[0, :, 2 * inner + h * dh:2 * inner + (h + 1) * dh]
+        dy = dy_ref[0, :, h * dh:(h + 1) * dh]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        p = jax.nn.softmax(s, axis=-1)
+        pb = p.astype(v.dtype)
+        dv = jax.lax.dot_general(
+            pb, dy, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(
+            dy, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dsb = ds.astype(q.dtype)
+        dq = jnp.dot(dsb, k, preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(
+            dsb, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        dqkv_ref[0, :, h * dh:(h + 1) * dh] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, inner + h * dh:inner + (h + 1) * dh] = (
+            dk.astype(dqkv_ref.dtype))
+        dqkv_ref[0, :, 2 * inner + h * dh:2 * inner + (h + 1) * dh] = (
+            dv.astype(dqkv_ref.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _small_attention_qkv(heads: int, dh: int, qkv):
+    return _fwd_qkv_impl(qkv, heads, dh)
+
+
+def small_attention_qkv(qkv, heads: int, dh: int):
+    """Fused unmasked MHA over the fused projection. qkv: [B, N, 3*heads*dh]
+    laid out [q | k | v], heads packed inside each. Returns [B, N, heads*dh];
+    the VJP emits one dqkv slab (no XLA-side split/concat copies)."""
+    return _small_attention_qkv(heads, dh, qkv)
+
+
+def _qkv_specs(n: int, heads: int, dh: int):
+    inner = heads * dh
+    qkvspec = pl.BlockSpec((1, n, 3 * inner), lambda b: (b, 0, 0),
+                           memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((1, n, inner), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    return qkvspec, ospec
+
+
+def _fwd_qkv_impl(qkv, heads, dh):
+    b, n, _ = qkv.shape
+    qkvspec, ospec = _qkv_specs(n, heads, dh)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_qkv, heads=heads, dh=dh),
+        grid=(b,),
+        in_specs=[qkvspec],
+        out_specs=ospec,
+        out_shape=jax.ShapeDtypeStruct((b, n, heads * dh), qkv.dtype),
+        interpret=interpret_mode(),
+    )(qkv)
+
+
+def _fwd_qkv_rule(heads, dh, qkv):
+    return _fwd_qkv_impl(qkv, heads, dh), qkv
+
+
+def _bwd_qkv_rule(heads, dh, qkv, dy):
+    b, n, _ = qkv.shape
+    qkvspec, ospec = _qkv_specs(n, heads, dh)
+    dqkv = pl.pallas_call(
+        functools.partial(_bwd_kernel_qkv, heads=heads, dh=dh),
+        grid=(b,),
+        in_specs=[qkvspec, ospec],
+        out_specs=qkvspec,
+        out_shape=jax.ShapeDtypeStruct(qkv.shape, qkv.dtype),
+        interpret=interpret_mode(),
+    )(qkv, dy)
+    return (dqkv,)
+
+
+_small_attention_qkv.defvjp(_fwd_qkv_rule, _bwd_qkv_rule)
+
+
 def small_attention_supported(n: int, inner: int, dh: int) -> bool:
     """One [N, N] f32 sim + q/k/v/dy slabs per program must fit VMEM;
     lane-axis head slices need dh a multiple of the sublane-friendly 8 and

@@ -159,3 +159,29 @@ def test_packed_forward_and_grad_parity():
     for a, b_ in zip(g_pl, g_ref):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_).reshape(a.shape), atol=3e-5)
+
+
+def test_packed_qkv_forward_and_grad_parity():
+    """Fused-qkv packed kernel (one [B,N,3I] operand, one dqkv grad slab)
+    vs the split-operand packed kernel and the XLA reference."""
+    from incomplete_multimodal_fusion_tpu.ops.pallas_attn import (
+        zorro_self_attention_packed_qkv,
+    )
+    b, n, h, dh = 2, 48, 2, 8
+    q, k, v, types = make_inputs(11, b, n, h, dh)
+    qkv = jnp.concatenate([t.reshape(b, n, h * dh) for t in (q, k, v)], axis=-1)
+
+    out = zorro_self_attention_packed_qkv(qkv, types, h, 3)
+    ref = xla_reference(q, k, v, types, 3).reshape(b, n, h * dh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def loss_pl(qkv):
+        return jnp.sum(jnp.sin(zorro_self_attention_packed_qkv(qkv, types, h, 3)))
+
+    def loss_ref(qkv):
+        q3, k3, v3 = (t.reshape(b, n, h, dh) for t in jnp.split(qkv, 3, axis=-1))
+        return jnp.sum(jnp.sin(xla_reference(q3, k3, v3, types, 3)))
+
+    g_pl = jax.grad(loss_pl)(qkv)
+    g_ref = jax.grad(loss_ref)(qkv)
+    np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_ref), atol=3e-5)

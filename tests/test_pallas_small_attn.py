@@ -62,3 +62,27 @@ def test_decoder_block_routes_and_matches():
     o_xla = m.apply({"params": params}, x, use_pallas=False)
     o_pl = m.apply({"params": params}, x, use_pallas=True)
     np.testing.assert_allclose(np.asarray(o_pl), np.asarray(o_xla), atol=2e-5)
+
+
+def test_fused_qkv_matches_split():
+    """small_attention_qkv over the fused [B,N,3I] slab must equal the
+    split-operand kernel and the XLA reference (values AND the one-slab
+    dqkv gradient)."""
+    from incomplete_multimodal_fusion_tpu.ops.pallas_small_attn import (
+        small_attention_qkv,
+    )
+
+    rng = np.random.default_rng(3)
+    b, n, h, dh = 2, 64, 4, 32
+    inner = h * dh
+    qkv = jnp.asarray(rng.standard_normal((b, n, 3 * inner)), jnp.float32)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    np.testing.assert_allclose(
+        np.asarray(small_attention_qkv(qkv, h, dh)),
+        np.asarray(_ref(q, k, v, h, dh)), atol=2e-5)
+
+    g1 = jax.grad(lambda a: jnp.sum(small_attention_qkv(a, h, dh) ** 2))(qkv)
+    g2 = jax.grad(
+        lambda a: jnp.sum(_ref(*jnp.split(a, 3, axis=-1), h, dh) ** 2))(qkv)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-3, atol=5e-4)
