@@ -239,6 +239,11 @@ class ZorroAttention(nn.Module):
                     [to_q.variables["params"]["kernel"],
                      to_kv.variables["params"]["kernel"]], axis=1)
                 qkv = jnp.dot(x, w_qkv.astype(x.dtype))
+                # NOTE: a block-sparse variant skipping dead type tiles
+                # exists (ops/pallas_zorro_sparse.py) but measured ~2x
+                # SLOWER at the flagship shape — the per-tile conditional
+                # fragmentation costs more than the ~1/3 FLOP saving (see
+                # PARITY.md). Dense whole-N matmuls stay the default.
                 fn = (zorro_self_attention_packed_qkv_auto
                       if use_pallas == "auto"
                       else zorro_self_attention_packed_qkv)
@@ -439,7 +444,7 @@ class FusionBlockFast(nn.Module):
         h_mask = attn_norm(norm1(mask_emb))
         h_fus = attn_norm(norm1(fusion))
 
-        q = to_q(h_fus).reshape(b, f, h, dh)
+        q2 = to_q(h_fus)  # [B, F, inner]
         kv_p = to_kv(h_packed)  # [B, E, 2i]
         kv_m = to_kv(h_mask)  # [1, F, 2i]
         kv_f = to_kv(h_fus)  # [B, F, 2i]
@@ -450,24 +455,40 @@ class FusionBlockFast(nn.Module):
         kv_grid = kv_grid + jnp.where(
             use[..., None], 0, jnp.tile(kv_m, (1, t, 1))
         )  # [B, T*F, 2i]
-        k_g, v_g = jnp.split(kv_grid.reshape(b, t, f, 2 * inner), 2, axis=-1)
-        k_g = k_g.reshape(b, t, f, h, dh).transpose(0, 2, 1, 3, 4)  # [B,F,T,h,dh]
-        v_g = v_g.reshape(b, t, f, h, dh).transpose(0, 2, 1, 3, 4)
-        k_f, v_f = jnp.split(kv_f.reshape(b, f, 2, h, dh), 2, axis=2)
-        k = jnp.concatenate([k_g, k_f], axis=2)  # [B, F, T+1, h, dh]
-        v = jnp.concatenate([v_g, v_f], axis=2)
 
-        scale = dh ** -0.5
-        sim = jnp.sum(
-            (q[:, :, None] * scale).astype(jnp.float32) * k.astype(jnp.float32),
-            axis=-1,
-        )  # [B, F, T+1, h]
-        if plane_valid is not None:
-            sim = jnp.where(plane_valid[None, None, :, None], sim,
-                            -0.7 * jnp.finfo(jnp.float32).max)
-        attn = jax.nn.softmax(sim, axis=2)
-        out = jnp.sum(attn[..., None].astype(v.dtype) * v, axis=2)  # [B,F,h,dh]
-        out = out.reshape(b, f, inner)
+        from ..ops.pallas_fusion_attn import (
+            fusion_row_attention, fusion_row_attention_auto,
+            fusion_row_supported,
+        )
+
+        if (use_pallas and plane_valid is None
+                and fusion_row_supported(f, t, inner)):
+            # fused slot attention straight off the t-major grid — no
+            # [B,T,F,h,dh] -> [B,F,T,h,dh] transpose copies, sim/softmax/
+            # mix in VMEM (ops/pallas_fusion_attn.py)
+            fn = (fusion_row_attention_auto if use_pallas == "auto"
+                  else fusion_row_attention)
+            out = fn(q2, kv_grid, kv_f, h, dh)
+        else:
+            q = q2.reshape(b, f, h, dh)
+            k_g, v_g = jnp.split(kv_grid.reshape(b, t, f, 2 * inner), 2, axis=-1)
+            k_g = k_g.reshape(b, t, f, h, dh).transpose(0, 2, 1, 3, 4)  # [B,F,T,h,dh]
+            v_g = v_g.reshape(b, t, f, h, dh).transpose(0, 2, 1, 3, 4)
+            k_f, v_f = jnp.split(kv_f.reshape(b, f, 2, h, dh), 2, axis=2)
+            k = jnp.concatenate([k_g, k_f], axis=2)  # [B, F, T+1, h, dh]
+            v = jnp.concatenate([v_g, v_f], axis=2)
+
+            scale = dh ** -0.5
+            sim = jnp.sum(
+                (q[:, :, None] * scale).astype(jnp.float32) * k.astype(jnp.float32),
+                axis=-1,
+            )  # [B, F, T+1, h]
+            if plane_valid is not None:
+                sim = jnp.where(plane_valid[None, None, :, None], sim,
+                                -0.7 * jnp.finfo(jnp.float32).max)
+            attn = jax.nn.softmax(sim, axis=2)
+            out = jnp.sum(attn[..., None].astype(v.dtype) * v, axis=2)  # [B,F,h,dh]
+            out = out.reshape(b, f, inner)
         out = nn.Dense(d_model, use_bias=False,
                        kernel_init=nn.initializers.xavier_uniform(), name="to_out")(out)
 
