@@ -1,4 +1,5 @@
-from .masked import masked_mse_loss, masked_l1_loss, masked_cross_entropy_loss, LOSS_FNS
+from .masked import (masked_mse_loss, masked_l1_loss, masked_cross_entropy_loss,
+                     LOSS_FNS, PATCH_LOSS_FNS)
 from .contrastive import (
     dino_loss,
     byol_loss,
@@ -14,6 +15,7 @@ __all__ = [
     "masked_l1_loss",
     "masked_cross_entropy_loss",
     "LOSS_FNS",
+    "PATCH_LOSS_FNS",
     "dino_loss",
     "byol_loss",
     "vicreg_loss",

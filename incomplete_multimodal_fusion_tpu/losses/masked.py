@@ -110,3 +110,109 @@ LOSS_FNS: Dict[str, Callable] = {
     "l1": masked_l1_loss,
     "cross_entropy": masked_cross_entropy_loss,
 }
+
+
+# ---------------------------------------------------------------------------
+# Patch-space variants (TPU layout optimization; same math as above).
+#
+# The pixel-space functions above force XLA into layout-transpose copies
+# each step: the 6-D norm-pix transpose/transpose-back pair, the pred
+# unpatchify, and a nearest-upsampled pixel mask. These variants consume the
+# decoder's native patch layout ``pred_patch [B, N, p*p*C]`` (pixel order
+# (ph, pw, c), criterion.py:75-78) directly: the target is patchified once,
+# norm-pix normalizes over the last axis with no transpose-back, and the
+# patch-level mask applies without pixel upsampling. Values are identical to
+# the pixel-space functions up to float reassociation (see
+# tests/test_losses.py patch-vs-pixel equivalence).
+# ---------------------------------------------------------------------------
+
+def _patchify_f32(target: jnp.ndarray, p: int) -> jnp.ndarray:
+    b, h, w, c = target.shape
+    nh, nw = h // p, w // p
+    t = target.astype(jnp.float32).reshape(b, nh, p, nw, p, c)
+    return t.transpose(0, 1, 3, 2, 4, 5).reshape(b, nh * nw, p * p * c)
+
+
+def _masked_reduce_patch(per_patch: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """per_patch: [B, N] per-patch MEAN loss; mask: [B, N] (1 = masked).
+
+    Same per-sample-mean / nanmean-over-batch semantics as ``_masked_reduce``
+    — within a patch every pixel shares the mask value, so the pixel-weighted
+    mean collapses to a patch-weighted mean of per-patch means.
+    """
+    m = mask.astype(jnp.float32)
+    num = jnp.sum(per_patch * m, axis=1)
+    den = jnp.sum(m, axis=1)
+    valid = den > 0
+    per_sample = num / jnp.maximum(den, 1.0)
+    total = jnp.sum(jnp.where(valid, per_sample, 0.0)) / jnp.maximum(jnp.sum(valid), 1)
+    return jnp.where(jnp.sum(mask) == 0, 0.0, total)
+
+
+def _norm_pix_patch(t: jnp.ndarray) -> jnp.ndarray:
+    """Per-patch normalization on [B, N, p*p*C] (criterion.py:90-96)."""
+    mean = t.mean(axis=-1, keepdims=True)
+    var = t.var(axis=-1, keepdims=True, ddof=1)
+    return (t - mean) / jnp.sqrt(var + 1e-6)
+
+
+def masked_mse_loss_patch(pred_patch, target, mask: Optional[jnp.ndarray] = None, *,
+                          patch_size: int = 16, stride: int = 1,
+                          norm_pix: bool = False):
+    """MaskedMSELoss on patch-layout preds. pred_patch [B, N, p*p*C],
+    target [B, H, W, C] pixels."""
+    p = patch_size // stride
+    pred = pred_patch.astype(jnp.float32)
+    t = _patchify_f32(target, p)
+    if norm_pix:
+        t = _norm_pix_patch(t)
+    loss = (pred - t) ** 2
+    if mask is None:
+        return loss.mean()
+    return _masked_reduce_patch(loss.mean(axis=-1), mask)
+
+
+def masked_l1_loss_patch(pred_patch, target, mask: Optional[jnp.ndarray] = None, *,
+                         patch_size: int = 16, stride: int = 1,
+                         norm_pix: bool = False):
+    """MaskedL1Loss on patch-layout preds."""
+    p = patch_size // stride
+    pred = pred_patch.astype(jnp.float32)
+    t = _patchify_f32(target, p)
+    if norm_pix:
+        t = _norm_pix_patch(t)
+    loss = jnp.abs(pred - t)
+    if mask is None:
+        return loss.mean()
+    return _masked_reduce_patch(loss.mean(axis=-1), mask)
+
+
+def masked_cross_entropy_loss_patch(pred_patch, target, mask: Optional[jnp.ndarray] = None, *,
+                                    patch_size: int = 16, stride: int = 1,
+                                    label_smoothing: float = 0.0):
+    """MaskedCrossEntropyLoss on patch-layout logits.
+
+    pred_patch [B, N, p*p*K] (pixel order (ph, pw, k)), target [B, H, W] int.
+    """
+    p = patch_size // stride
+    b, n, pk = pred_patch.shape
+    k = pk // (p * p)
+    logits = pred_patch.astype(jnp.float32).reshape(b, n, p * p, k)
+    nh = int(n ** 0.5)
+    t = target.reshape(b, nh, p, nh, p).transpose(0, 1, 3, 2, 4).reshape(b, n, p * p)
+    logp = logits - jnp.max(logits, axis=-1, keepdims=True)
+    logp = logp - jnp.log(jnp.sum(jnp.exp(logp), axis=-1, keepdims=True))
+    onehot = jnp.eye(k, dtype=jnp.float32)[t]
+    if label_smoothing > 0:
+        onehot = onehot * (1 - label_smoothing) + label_smoothing / k
+    loss = -jnp.sum(onehot * logp, axis=-1)  # [B, N, p*p]
+    if mask is None:
+        return loss.mean()
+    return _masked_reduce_patch(loss.mean(axis=-1), mask)
+
+
+PATCH_LOSS_FNS: Dict[str, Callable] = {
+    "mse": masked_mse_loss_patch,
+    "l1": masked_l1_loss_patch,
+    "cross_entropy": masked_cross_entropy_loss_patch,
+}

@@ -138,7 +138,8 @@ class SpatialOutputAdapterFull(nn.Module):
         return max(1, self.patch_size // self.stride_level)
 
     @nn.compact
-    def __call__(self, encoder_tokens, mask_info, num_encoded_tokens: int):
+    def __call__(self, encoder_tokens, mask_info, num_encoded_tokens: int,
+                 patch_output: bool = False):
         from ..ops.masking import MaskInfo  # noqa: F401 (doc)
         from .layers import ViTCrossAttention
 
@@ -201,6 +202,11 @@ class SpatialOutputAdapterFull(nn.Module):
                          name=f"block{i}")(x)
         x = nn.Dense(self.num_channels * p * p,
                      kernel_init=nn.initializers.xavier_uniform(), name="out_proj")(x)
+        if patch_output:
+            # patch-layout [B, F, p*p*C] — the patch-space losses consume this
+            # directly; the pixel unpatchify then dead-code-eliminates out of
+            # the train step (losses/masked.py patch variants)
+            return x
         return unpatchify(x, p, n_hw, n_hw, self.num_channels)
 
 
@@ -229,7 +235,7 @@ class SpatialOutputAdapter(nn.Module):
 
     @nn.compact
     def __call__(self, encoder_tokens: jnp.ndarray, image_size: Optional[Tuple[int, int]] = None,
-                 use_pallas=False, trunk_only=False):
+                 use_pallas=False, trunk_only=False, patch_output=False):
         h, w = image_size or (self.image_size, self.image_size)
         p = self.p
         n_h = h // (self.stride_level * p)
@@ -254,4 +260,6 @@ class SpatialOutputAdapter(nn.Module):
             kernel_init=nn.initializers.xavier_uniform(),
             name="out_proj",
         )(x)
+        if patch_output:
+            return x
         return unpatchify(x, p, n_h, n_w, self.num_channels)

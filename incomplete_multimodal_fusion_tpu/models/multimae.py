@@ -239,6 +239,11 @@ class MultiMAE(nn.Module):
         kernel launches; the per-task out_proj, whose width C*p^2 differs by
         task, is applied separately). Identical math and parameter layout —
         checkpoints and the torch weight transplant are unaffected.
+
+        Returns PATCH-layout preds {d: [B, F, p*p*C]}; callers derive pixel
+        images via ``_unpatchify_preds`` so the transpose copies dead-code-
+        eliminate out of the train step (the patch-space losses never need
+        them).
         """
         doms = self.out_domains
         ads = self.output_adapters
@@ -252,7 +257,8 @@ class MultiMAE(nn.Module):
         )
         if (self.is_initializing() or not self.decoder_batch_tasks
                 or len(doms) < 2 or not same_trunk):
-            return {d: ads[d](grid, use_pallas=use_pallas) for d in doms}
+            return {d: ads[d](grid, use_pallas=use_pallas, patch_output=True)
+                    for d in doms}
 
         task_params = [ads[d].variables["params"] for d in doms]
         trunk = jax.tree.map(
@@ -278,15 +284,20 @@ class MultiMAE(nn.Module):
 
         preds = {}
         for i, d in enumerate(doms):
-            ad = ads[d]
             w = task_params[i]["out_proj"]["kernel"]
             bias = task_params[i]["out_proj"]["bias"]
-            x = feats[i] @ w + bias
+            preds[d] = feats[i] @ w + bias
+        return preds
+
+    def _unpatchify_preds(self, preds_patch):
+        """Patch-layout preds {d: [B, F, p*p*C]} -> pixel images."""
+        out = {}
+        for d, x in preds_patch.items():
+            ad = self.output_adapters[d]
             p = ad.p
             n_h = ad.image_size // (ad.stride_level * p)
-            n_w = n_h
-            preds[d] = unpatchify(x, p, n_h, n_w, ad.num_channels)
-        return preds
+            out[d] = unpatchify(x, p, n_h, n_h, ad.num_channels)
+        return out
 
     def _grid_onehot(self, mask_info: MaskInfo, num_encoded_tokens: int, dtype):
         """One-hot scatter matrix [B, T*F, E] mapping packed slots to grid
@@ -458,12 +469,14 @@ class MultiMAE(nn.Module):
 
         encoder_fusion_tokens = tokens[:, e:, :]
         if self.decoder_style == "full":
-            preds = {
-                d: self.output_adapters[d](tokens[:, :e, :], mask_info, e)
+            preds_patch = {
+                d: self.output_adapters[d](tokens[:, :e, :], mask_info, e,
+                                           patch_output=True)
                 for d in self.out_domains
             }
         else:
-            preds = self._decode_simple(encoder_fusion_tokens, use_pallas=use_pallas)
+            preds_patch = self._decode_simple(encoder_fusion_tokens,
+                                              use_pallas=use_pallas)
 
         # contrastive pools over fusion tokens at each modality's visible
         # positions (multimae_crossattn.py:529-543)
@@ -476,7 +489,8 @@ class MultiMAE(nn.Module):
             pooled_mod[d] = p[:, 0, :]
 
         return {
-            "preds": preds,
+            "preds": self._unpatchify_preds(preds_patch),
+            "preds_patch": preds_patch,  # [B, F, p*p*C] per task
             "task_masks": mask_info.task_masks,
             "pooled": ret,  # [B, T+1, D]: per-modality + fusion pools
             "ori_tokens": tokens[:, :e, :],
@@ -516,11 +530,12 @@ def _multimae_forward_lstm(self, packed, fusion_full, mask_info, e, deterministi
     ret = self._pool_returns(tokens, types, valid, b, dtype)
     fusion_part = tokens[:, e:, :]  # aligned with packed slots
     grid_complete = self._scatter_back(fusion_part, fusion_full, mask_info, e)
-    preds = self._decode_simple(grid_complete)
+    preds_patch = self._decode_simple(grid_complete)
     pooled_mod = self._modality_pools(fusion_part, mod_types, slot_valid, b, dtype)
 
     return {
-        "preds": preds,
+        "preds": self._unpatchify_preds(preds_patch),
+        "preds_patch": preds_patch,
         "task_masks": mask_info.task_masks,
         "pooled": ret,
         "ori_tokens": tokens[:, :e, :],
@@ -581,19 +596,21 @@ def _multimae_forward_crossattn_v1(self, packed, fusion_full, mask_info,
     # the snapshot feeds its output adapters the completed fusion grid with
     # full-MAE-style kwargs (:509-524); both decoder styles supported here
     if self.decoder_style == "full":
-        preds = {
-            d: self.output_adapters[d](tokens[:, :e, :], mask_info, e)
+        preds_patch = {
+            d: self.output_adapters[d](tokens[:, :e, :], mask_info, e,
+                                       patch_output=True)
             for d in self.out_domains
         }
     else:
-        preds = self._decode_simple(grid_complete)
+        preds_patch = self._decode_simple(grid_complete)
 
     pooled_mod = self._modality_pools(
         fusion_part, mod_types, slot_valid, b, dtype,
         attn_for=self.pool_attn, mlp_for=self.pool_mlp)
 
     return {
-        "preds": preds,
+        "preds": self._unpatchify_preds(preds_patch),
+        "preds_patch": preds_patch,
         "task_masks": mask_info.task_masks,
         "pooled": ret,
         "ori_tokens": tokens[:, :e, :],

@@ -21,7 +21,8 @@ from flax import struct
 
 from .. import modalities as modreg
 from ..config import PretrainConfig
-from ..losses import LOSS_FNS, dino_loss, no_weighting, uncertainty_weighting, init_uncertainty_params
+from ..losses import (LOSS_FNS, PATCH_LOSS_FNS, dino_loss, no_weighting,
+                      uncertainty_weighting, init_uncertainty_params)
 from ..models.multimae import MultiMAE, build_multimae
 from ..ops import masking
 from . import optim as optim_lib
@@ -105,14 +106,22 @@ def make_loss_fn(model: MultiMAE, cfg: PretrainConfig):
             rngs={"dropout": dropout_rng},
         )
         task_losses = {}
+        preds_patch = out.get("preds_patch")
         for d in out_domains:
             spec = modreg.get(d)
-            fn = LOSS_FNS[spec.loss]
             mask = None if cfg.train.loss_on_unmasked else mask_info.task_masks[d]
-            task_losses[d] = fn(
-                out["preds"][d], batch[d], mask,
-                patch_size=cfg.data.patch_size, stride=spec.stride_level,
-            )
+            if preds_patch is not None and spec.loss in PATCH_LOSS_FNS:
+                # patch-layout fast path: no pred unpatchify, no norm-pix
+                # transpose-back, no pixel mask upsample (losses/masked.py)
+                task_losses[d] = PATCH_LOSS_FNS[spec.loss](
+                    preds_patch[d], batch[d], mask,
+                    patch_size=cfg.data.patch_size, stride=spec.stride_level,
+                )
+            else:
+                task_losses[d] = LOSS_FNS[spec.loss](
+                    out["preds"][d], batch[d], mask,
+                    patch_size=cfg.data.patch_size, stride=spec.stride_level,
+                )
         # contrastive: student = fusion-stream pool at modality positions,
         # teacher = modality-token pool (pretrain_mmae.py:488-493)
         pooled = out["pooled"].astype(jnp.float32)
