@@ -91,6 +91,10 @@ class OptimConfig:
     skip_grad: Optional[float] = None
     task_balancer: str = "none"  # 'none' | 'uncertainty'
     balancer_lr_scale: float = 1.0
+    # fused flat-vector AdamW (train/optim.py flat_adamw): numerically
+    # identical to the optax chain, one big elementwise pass instead of
+    # per-leaf fusion soup
+    fused_adamw: bool = True
 
 
 @dataclass(frozen=True)

@@ -229,6 +229,7 @@ def create_train_state(
         params, lr_sched, wd_sched,
         betas=cfg.optim.opt_betas, eps=cfg.optim.opt_eps,
         clip_grad=cfg.optim.clip_grad, skip_grad=cfg.optim.skip_grad,
+        fused=getattr(cfg.optim, "fused_adamw", False),
     )
     balancer_params = (
         init_uncertainty_params(cfg.data.out_domains)
