@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
+from jax.flatten_util import ravel_pytree
 
 from .. import modalities as modreg
 from ..config import PretrainConfig
@@ -160,9 +161,11 @@ def make_train_step(model: MultiMAE, cfg: PretrainConfig, tx):
             state.params, state.balancer_params, batch, mask_info, dropout_rng
         )
         g_params, g_bal = grads
-        metrics["grad_norm"] = jax.tree.reduce(
-            lambda a, x: a + jnp.sum(jnp.square(x.astype(jnp.float32))), g_params, 0.0
-        ) ** 0.5
+        # ravel (not per-leaf tree-reduce) so XLA can CSE this concat with the
+        # fused optimizer's own ravel of the same gradients
+        flat_g, _ = ravel_pytree(g_params)
+        metrics["grad_norm"] = jnp.sqrt(
+            jnp.sum(jnp.square(flat_g.astype(jnp.float32))))
         updates, opt_state = tx.update(g_params, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         # balancer log-vars: their own AdamW param group riding the real LR
