@@ -47,6 +47,11 @@ class MaskFormerConfig:
     num_queries: int = 100
     dec_layers: int = 3
     dim_feedforward: int = 2048
+    # 'mask2former' = MultiScaleMaskedTransformerDecoder (the reference
+    # drivers' choice); 'standard' = the original DETR-style
+    # StandardTransformerDecoder (maskformer_transformer_decoder.py:12-106)
+    decoder_type: str = "mask2former"
+    pre_norm: bool = False
     keep_ratio: float = 0.9  # train-time visible-token ratio (:576-580)
 
     @property
@@ -126,6 +131,19 @@ class MaskFormerModel(nn.Module):
             name="pixel_decoder",
         )(feats, deterministic=deterministic)
 
+        if getattr(c, "decoder_type", "mask2former") == "standard":
+            from .maskformer_decoder import StandardTransformerDecoder
+
+            return StandardTransformerDecoder(
+                num_classes=c.num_classes,
+                hidden_dim=c.conv_dim,
+                num_queries=c.num_queries,
+                dec_layers=c.dec_layers,
+                dim_feedforward=c.dim_feedforward,
+                mask_dim=c.mask_dim,
+                pre_norm=c.pre_norm,
+                name="predictor",
+            )(ms_feats[0], mask_features)
         return MultiScaleMaskedTransformerDecoder(
             num_classes=c.num_classes,
             hidden_dim=c.conv_dim,
