@@ -105,6 +105,42 @@ class BitMasks:
         return self.tensor.sum(axis=(1, 2)).astype(np.float32)
 
 
+class ImageList:
+    """Batch of variable-size images padded into one array, with original
+    sizes retained (utils/image_list.py:22-109 role). NHWC; pad stride
+    mirrors the ÷`size_divisibility` padding `infer_segmentation.py` applies
+    before the jitted forward (static shapes for XLA)."""
+
+    def __init__(self, tensor: np.ndarray, image_sizes: List[Tuple[int, int]]):
+        self.tensor = tensor
+        self.image_sizes = list(image_sizes)
+
+    def __len__(self) -> int:
+        return len(self.image_sizes)
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        h, w = self.image_sizes[idx]
+        return self.tensor[idx, :h, :w]
+
+    @staticmethod
+    def from_tensors(tensors: Sequence[np.ndarray], size_divisibility: int = 0,
+                     pad_value: float = 0.0) -> "ImageList":
+        """tensors: list of [H, W, C] (or [H, W]) images."""
+        sizes = [(t.shape[0], t.shape[1]) for t in tensors]
+        max_h = max(s[0] for s in sizes)
+        max_w = max(s[1] for s in sizes)
+        if size_divisibility > 0:
+            d = size_divisibility
+            max_h = -(-max_h // d) * d
+            max_w = -(-max_w // d) * d
+        rest = tensors[0].shape[2:]
+        out = np.full((len(tensors), max_h, max_w) + rest, pad_value,
+                      np.asarray(tensors[0]).dtype)
+        for i, t in enumerate(tensors):
+            out[i, :t.shape[0], :t.shape[1]] = t
+        return ImageList(out, sizes)
+
+
 class Instances:
     """Per-image field container (utils/instances.py): named parallel arrays
     with shared length, len/index/cat, plus dict bridging to the instance

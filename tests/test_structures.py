@@ -4,7 +4,18 @@ import numpy as np
 import pytest
 
 from incomplete_multimodal_fusion_tpu.eval.structures import (
-    BitMasks, Boxes, BoxMode, Instances)
+    BitMasks, Boxes, BoxMode, ImageList, Instances)
+
+
+def test_imagelist_padding():
+    a = np.ones((5, 7, 3), np.float32)
+    b = np.full((9, 4, 3), 2.0, np.float32)
+    il = ImageList.from_tensors([a, b], size_divisibility=8)
+    assert il.tensor.shape == (2, 16, 8, 3)  # padded up to /8
+    assert il.image_sizes == [(5, 7), (9, 4)]
+    np.testing.assert_array_equal(il[0], a)
+    np.testing.assert_array_equal(il[1], b)
+    assert il.tensor[0, 5:, :, :].sum() == 0  # pad region
 
 
 def test_boxes_ops():
