@@ -94,10 +94,15 @@ def panoptic_inference(
     mask_pred: jnp.ndarray,  # [Q, H, W] logits
     object_mask_threshold: float = 0.8,
     overlap_threshold: float = 0.8,
+    thing_ids: Optional[Sequence[int]] = None,
 ) -> Tuple[jnp.ndarray, list]:
-    """Mask2Former panoptic postprocess (mask2former_infer.py panoptic path):
-    keep confident non-void queries, argmax over score-weighted masks, drop
-    segments with poor overlap."""
+    """Mask2Former panoptic postprocess (mask2former_infer.py:288-345):
+    keep confident non-void queries, argmax over score-weighted masks, paint
+    each segment as (argmax region) & (sigmoid >= 0.5), drop poor-overlap
+    segments, and MERGE same-class stuff regions into one segment
+    (stuff_memory_list, :313-331). `thing_ids` = contiguous class ids that
+    are instances (e.g. `data.ade_metadata.thing_ids()`); None = all classes
+    are things (no merging)."""
     scores = jax.nn.softmax(mask_cls, axis=-1)
     labels = jnp.argmax(scores, axis=-1)
     conf = jnp.max(scores[:, :-1], axis=-1)
@@ -107,9 +112,11 @@ def panoptic_inference(
     weighted = jnp.where(keep[:, None, None], conf[:, None, None] * probs, -1e4)
     assign = jnp.argmax(weighted, axis=0)  # [H, W] query id
 
+    things = None if thing_ids is None else set(int(t) for t in thing_ids)
     pan = np.zeros(mask_pred.shape[1:], np.int32)
     segments = []
     sid = 0
+    stuff_memory = {}  # class id -> segment id (merge stuff regions)
     assign_np = np.asarray(assign)
     probs_np = np.asarray(probs)
     keep_np = np.asarray(keep)
@@ -117,15 +124,23 @@ def panoptic_inference(
     for q in range(mask_pred.shape[0]):
         if not keep_np[q]:
             continue
+        cls = int(labels_np[q])
+        isthing = things is None or cls in things
         region = assign_np == q
         orig = probs_np[q] >= 0.5
-        if region.sum() == 0 or orig.sum() == 0:
+        mask = region & orig
+        if region.sum() == 0 or orig.sum() == 0 or mask.sum() == 0:
             continue
         if region.sum() / orig.sum() < overlap_threshold:
             continue
+        if not isthing and cls in stuff_memory:
+            pan[mask] = stuff_memory[cls]
+            continue
         sid += 1
-        pan[region] = sid
-        segments.append({"id": sid, "category_id": int(labels_np[q])})
+        if not isthing:
+            stuff_memory[cls] = sid
+        pan[mask] = sid
+        segments.append({"id": sid, "category_id": cls, "isthing": isthing})
     return jnp.asarray(pan), segments
 
 

@@ -201,6 +201,30 @@ class TestInferHandlers:
         assert pan.shape == (16, 16)
         assert len(segs) == len(set(np.asarray(pan).flatten()) - {0})
 
+    def test_panoptic_stuff_merging(self):
+        """Same-class stuff queries merge into one segment; things stay
+        separate (mask2former_infer.py:313-331 stuff_memory_list)."""
+        # two confident queries of class 0 covering disjoint halves
+        cls = jnp.asarray([[9.0, 0.0, -9.0]] * 2 + [[0.0, 9.0, -9.0]],
+                          jnp.float32)  # q0,q1 -> class 0; q2 -> class 1
+        masks = jnp.full((3, 4, 8), -9.0, jnp.float32)
+        masks = masks.at[0, :, :3].set(9.0)
+        masks = masks.at[1, :, 3:6].set(9.0)
+        masks = masks.at[2, :, 6:].set(9.0)
+        kw = dict(object_mask_threshold=0.5, overlap_threshold=0.5)
+
+        # class 0 as stuff: q0+q1 merge -> 2 segments total
+        pan, segs = infseg.panoptic_inference(cls, masks, thing_ids=[1], **kw)
+        assert len(segs) == 2
+        assert segs[0]["isthing"] is False and segs[1]["isthing"] is True
+        p = np.asarray(pan)
+        assert p[0, 0] == p[0, 4] != 0  # both class-0 regions share one id
+        assert p[0, 7] not in (0, p[0, 0])
+
+        # all things: no merging -> 3 segments
+        _, segs_t = infseg.panoptic_inference(cls, masks, thing_ids=None, **kw)
+        assert len(segs_t) == 3
+
     def test_pad_to_divisible(self):
         img = jnp.ones((1, 30, 45, 3))
         out, size = infseg.pad_to_divisible(img, 32)
