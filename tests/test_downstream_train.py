@@ -286,5 +286,10 @@ class TestDownstreamDataParallel:
         # per mask), where the psum tree's f32 summation order legitimately
         # differs from the single-device fused reduce
         np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-6)
+        # 5e-3, not 2e-3: after the 128-aligned packed-capacity change the
+        # psum reduction shapes shifted and a handful of elements (3/512 in
+        # one leaf) land at ~2.2e-3 — still pure f32 reduction-order noise
+        # (an assignment flip would smear across whole leaves, and the
+        # forward loss above agrees to 1e-6)
         for a, b_ in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-3)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-3)
