@@ -127,10 +127,9 @@ LOSS_FNS: Dict[str, Callable] = {
 # ---------------------------------------------------------------------------
 
 def _patchify_f32(target: jnp.ndarray, p: int) -> jnp.ndarray:
-    b, h, w, c = target.shape
-    nh, nw = h // p, w // p
-    t = target.astype(jnp.float32).reshape(b, nh, p, nw, p, c)
-    return t.transpose(0, 1, 3, 2, 4, 5).reshape(b, nh * nw, p * p * c)
+    from ..ops.patches import patchify  # the canonical (ph, pw, c) layout
+
+    return patchify(target.astype(jnp.float32), p)
 
 
 def _masked_reduce_patch(per_patch: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:

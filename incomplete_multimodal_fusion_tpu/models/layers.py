@@ -514,7 +514,8 @@ class ViTSelfAttention(nn.Module):
     @nn.compact
     def __call__(self, x, use_pallas=False):
         from ..ops.pallas_small_attn import (
-            small_attention_qkv, small_attention_supported,
+            small_attention_qkv, small_attention_qkv_auto,
+            small_attention_supported,
         )
 
         b, n, c = x.shape
@@ -524,6 +525,11 @@ class ViTSelfAttention(nn.Module):
         )(x)
 
         if use_pallas and small_attention_supported(n, c, hd):
+            # 'auto' resolves per-platform at lowering time (Pallas on TPU,
+            # XLA elsewhere) — never embed a Mosaic call in a CPU executable
+            # or fall into interpret mode on CPU
+            fn = (small_attention_qkv_auto if use_pallas == "auto"
+                  else small_attention_qkv)
             # fused whole-row kernel: the [N, N] f32 sim stays in VMEM (the
             # XLA path materializes [B, H, N, N] f32 in HBM — measured
             # ~9 TFLOP/s at the decoder's n=256/dh=32), consuming the fused
@@ -531,7 +537,7 @@ class ViTSelfAttention(nn.Module):
             # no split copies around the custom call. The earlier
             # per-(batch,head)-program Pallas routing that lost to XLA at
             # this size is superseded by this per-batch-row design.
-            out = small_attention_qkv(qkv, self.num_heads, hd)
+            out = fn(qkv, self.num_heads, hd)
         else:
             q, k, v = jnp.split(qkv, 3, axis=-1)
 

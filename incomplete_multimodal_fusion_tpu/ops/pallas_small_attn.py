@@ -32,103 +32,6 @@ from jax.experimental.pallas import tpu as pltpu
 from .pallas_common import interpret_mode
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, dh: int):
-    scale = dh ** -0.5
-    for h in range(heads):
-        sl = slice(h * dh, (h + 1) * dh)
-        q = q_ref[0, :, sl]
-        k = k_ref[0, :, sl]
-        v = v_ref[0, :, sl]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # [N, N] f32
-        p = jax.nn.softmax(s, axis=-1)
-        o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-        o_ref[0, :, sl] = o.astype(o_ref.dtype)
-
-
-def _bwd_kernel(q_ref, k_ref, v_ref, dy_ref, dq_ref, dk_ref, dv_ref,
-                *, heads: int, dh: int):
-    scale = dh ** -0.5
-    for h in range(heads):
-        sl = slice(h * dh, (h + 1) * dh)
-        q = q_ref[0, :, sl]
-        k = k_ref[0, :, sl]
-        v = v_ref[0, :, sl]
-        dy = dy_ref[0, :, sl]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        p = jax.nn.softmax(s, axis=-1)  # [N, N] f32
-        pb = p.astype(v.dtype)
-        dv = jax.lax.dot_general(
-            pb, dy, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [N, dh]
-        dp = jax.lax.dot_general(
-            dy, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [N, N]
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        dsb = ds.astype(q.dtype)
-        dq = jnp.dot(dsb, k, preferred_element_type=jnp.float32) * scale
-        dk = jax.lax.dot_general(
-            dsb, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
-        dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
-        dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
-
-
-def _specs(n: int, inner: int):
-    return pl.BlockSpec((1, n, inner), lambda b: (b, 0, 0),
-                        memory_space=pltpu.VMEM)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _small_attention(heads: int, dh: int, q, k, v):
-    return _fwd_impl(q, k, v, heads, dh)
-
-
-def small_attention(q, k, v, heads: int, dh: int):
-    """Fused unmasked MHA. q/k/v: [B, N, heads*dh] (head-packed lane axis,
-    the layout ViTSelfAttention's fused qkv already produces)."""
-    return _small_attention(heads, dh, q, k, v)
-
-
-def _fwd_impl(q, k, v, heads, dh):
-    b, n, inner = q.shape
-    spec = _specs(n, inner)
-    return pl.pallas_call(
-        functools.partial(_fwd_kernel, heads=heads, dh=dh),
-        grid=(b,),
-        in_specs=[spec, spec, spec],
-        out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
-        interpret=interpret_mode(),
-    )(q, k, v)
-
-
-def _fwd_rule(heads, dh, q, k, v):
-    return _fwd_impl(q, k, v, heads, dh), (q, k, v)
-
-
-def _bwd_rule(heads, dh, res, dy):
-    q, k, v = res
-    b, n, inner = q.shape
-    spec = _specs(n, inner)
-    dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, heads=heads, dh=dh),
-        grid=(b,),
-        in_specs=[spec, spec, spec, spec],
-        out_specs=(spec, spec, spec),
-        out_shape=(jax.ShapeDtypeStruct(q.shape, q.dtype),) * 3,
-        interpret=interpret_mode(),
-    )(q, k, v, dy)
-    return dq, dk, dv
-
-
-_small_attention.defvjp(_fwd_rule, _bwd_rule)
-
-
 def _fwd_kernel_qkv(qkv_ref, o_ref, *, heads: int, dh: int):
     """Fused-qkv variant: q/k/v are static lane slices of one [N, 3I] slab,
     so XLA never materializes split copies to feed the custom call."""
@@ -239,3 +142,28 @@ def small_attention_supported(n: int, inner: int, dh: int) -> bool:
     the inner dim 128-aligned for clean tiling."""
     return (n <= 1024 and n % 8 == 0 and inner % 128 == 0 and dh % 8 == 0
             and (n * n * 4 + 4 * n * inner * 2) <= 8e6)
+
+
+def small_attention_qkv_xla(qkv, heads: int, dh: int):
+    """Plain-XLA reference of small_attention_qkv (same fused-qkv operand)."""
+    b, n, _ = qkv.shape
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def hs(t):
+        return t.reshape(b, n, heads, dh)
+
+    from .attention import multihead_attention
+
+    return multihead_attention(hs(q), hs(k), hs(v)).reshape(b, n, heads * dh)
+
+
+def small_attention_qkv_auto(qkv, heads: int, dh: int):
+    """Pallas on TPU, XLA elsewhere — resolved at lowering time (same
+    rationale as pallas_attn.zorro_self_attention_auto: 'auto' callers must
+    never embed a Mosaic TPU call in a CPU executable, nor fall into
+    interpret mode on CPU)."""
+    return jax.lax.platform_dependent(
+        qkv,
+        tpu=functools.partial(small_attention_qkv, heads=heads, dh=dh),
+        default=functools.partial(small_attention_qkv_xla, heads=heads, dh=dh),
+    )

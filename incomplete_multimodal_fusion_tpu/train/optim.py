@@ -147,9 +147,9 @@ def flat_adamw(
     n_pad = -(-n // pad_to) * pad_to
 
     mask_leaves = jax.tree.leaves(wd_mask(params))
-    wd_vec = np.zeros((n_pad,), np.float32)
+    wd_vec = np.zeros((n_pad,), bool)  # bool, not f32: 1 byte/param resident
     wd_vec[:n] = np.concatenate(
-        [np.full(int(l.size), float(m), np.float32) for l, m in zip(leaves, mask_leaves)]
+        [np.full(int(l.size), bool(m)) for l, m in zip(leaves, mask_leaves)]
     )
     wd_vec = jnp.asarray(wd_vec)
 
@@ -189,7 +189,8 @@ def flat_adamw(
         # optax.inject_hyperparams' step convention in create_optimizer
         lr = lr_schedule(state.count)
         wd = wd_schedule(state.count)
-        upd = -lr * (mu_hat / (jnp.sqrt(nu_hat) + eps) + wd * wd_vec * p)
+        decay = jnp.where(wd_vec, wd, 0.0)  # bool mask -> scheduled wd
+        upd = -lr * (mu_hat / (jnp.sqrt(nu_hat) + eps) + decay * p)
         if ld_vec is not None:
             upd = upd * ld_vec
         if skip_grad is not None:

@@ -286,10 +286,16 @@ class TestDownstreamDataParallel:
         # per mask), where the psum tree's f32 summation order legitimately
         # differs from the single-device fused reduce
         np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-6)
-        # 5e-3, not 2e-3: after the 128-aligned packed-capacity change the
-        # psum reduction shapes shifted and a handful of elements (3/512 in
-        # one leaf) land at ~2.2e-3 — still pure f32 reduction-order noise
-        # (an assignment flip would smear across whole leaves, and the
-        # forward loss above agrees to 1e-6)
+        # Two-tier bound: the bulk of every leaf must sit within the tight
+        # 2e-3 noise envelope (99th percentile), with a 5e-3 hard ceiling for
+        # the few elements riding large cancelling reductions — after the
+        # 128-aligned packed-capacity change the psum shapes shifted and
+        # 3/512 elements of one leaf land at ~2.2e-3. A real gradient-sync
+        # or assignment bug smears a whole leaf and trips the quantile tier;
+        # pure f32 reduction-order noise does not.
         for a, b_ in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-3)
+            diff = np.abs(np.asarray(a) - np.asarray(b_))
+            assert diff.max() < 5e-3, f"max diff {diff.max()}"
+            assert np.quantile(diff, 0.99) < 2e-3, (
+                f"p99 diff {np.quantile(diff, 0.99)} — broad divergence, "
+                "not isolated reduction noise")

@@ -8,7 +8,8 @@ import pytest
 
 from incomplete_multimodal_fusion_tpu.ops.attention import multihead_attention
 from incomplete_multimodal_fusion_tpu.ops.pallas_small_attn import (
-    small_attention,
+    small_attention_qkv,
+    small_attention_qkv_auto,
     small_attention_supported,
 )
 
@@ -23,24 +24,24 @@ def _ref(q, k, v, h, dh):
 def test_forward_matches_xla(n, h, dh):
     rng = np.random.default_rng(n + h)
     b, inner = 2, h * dh
-    q, k, v = (jnp.asarray(rng.standard_normal((b, n, inner)), jnp.float32)
-               for _ in range(3))
+    qkv = jnp.asarray(rng.standard_normal((b, n, 3 * inner)), jnp.float32)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
     np.testing.assert_allclose(
-        np.asarray(small_attention(q, k, v, h, dh)),
+        np.asarray(small_attention_qkv(qkv, h, dh)),
         np.asarray(_ref(q, k, v, h, dh)), atol=2e-5)
 
 
 def test_grads_match_xla():
-    rng = np.random.default_rng(0)
+    """One-slab dqkv gradient vs the XLA reference."""
+    rng = np.random.default_rng(3)
     b, n, h, dh = 2, 64, 4, 32
     inner = h * dh
-    q, k, v = (jnp.asarray(rng.standard_normal((b, n, inner)), jnp.float32)
-               for _ in range(3))
-    g1 = jax.grad(lambda a: jnp.sum(small_attention(*a, h, dh) ** 2))((q, k, v))
-    g2 = jax.grad(lambda a: jnp.sum(_ref(*a, h, dh) ** 2))((q, k, v))
-    for a, b_ in zip(g1, g2):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
-                                   rtol=1e-3, atol=5e-4)
+    qkv = jnp.asarray(rng.standard_normal((b, n, 3 * inner)), jnp.float32)
+    g1 = jax.grad(lambda a: jnp.sum(small_attention_qkv(a, h, dh) ** 2))(qkv)
+    g2 = jax.grad(
+        lambda a: jnp.sum(_ref(*jnp.split(a, 3, axis=-1), h, dh) ** 2))(qkv)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-3, atol=5e-4)
 
 
 def test_supported_gate():
@@ -50,9 +51,23 @@ def test_supported_gate():
     assert not small_attention_supported(2048, 256, 32) # sim too large
 
 
-def test_decoder_block_routes_and_matches():
-    """ViTSelfAttention(use_pallas=True) must equal the XLA path (on CPU the
-    kernel runs in interpret mode, so this pins the full wired path)."""
+def test_auto_wrapper_resolves_to_xla_on_cpu():
+    """'auto' must lower to the XLA path off-TPU (no interpret-mode kernel,
+    no Mosaic call in a CPU executable) and match numerically."""
+    rng = np.random.default_rng(5)
+    b, n, h, dh = 2, 64, 4, 32
+    qkv = jnp.asarray(rng.standard_normal((b, n, 3 * h * dh)), jnp.float32)
+    out = jax.jit(lambda a: small_attention_qkv_auto(a, h, dh))(qkv)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(_ref(q, k, v, h, dh)),
+                               atol=2e-5)
+
+
+@pytest.mark.parametrize("mode", [True, "auto"])
+def test_decoder_block_routes_and_matches(mode):
+    """ViTSelfAttention(use_pallas=True|'auto') must equal the XLA path (on
+    CPU: True runs the kernel in interpret mode, 'auto' resolves to XLA at
+    lowering time — both pin the full wired path)."""
     from incomplete_multimodal_fusion_tpu.models.layers import ViTSelfAttention
 
     rng = np.random.default_rng(1)
@@ -60,29 +75,5 @@ def test_decoder_block_routes_and_matches():
     m = ViTSelfAttention(num_heads=4, qkv_bias=True)
     params = m.init(jax.random.PRNGKey(0), x)["params"]
     o_xla = m.apply({"params": params}, x, use_pallas=False)
-    o_pl = m.apply({"params": params}, x, use_pallas=True)
+    o_pl = m.apply({"params": params}, x, use_pallas=mode)
     np.testing.assert_allclose(np.asarray(o_pl), np.asarray(o_xla), atol=2e-5)
-
-
-def test_fused_qkv_matches_split():
-    """small_attention_qkv over the fused [B,N,3I] slab must equal the
-    split-operand kernel and the XLA reference (values AND the one-slab
-    dqkv gradient)."""
-    from incomplete_multimodal_fusion_tpu.ops.pallas_small_attn import (
-        small_attention_qkv,
-    )
-
-    rng = np.random.default_rng(3)
-    b, n, h, dh = 2, 64, 4, 32
-    inner = h * dh
-    qkv = jnp.asarray(rng.standard_normal((b, n, 3 * inner)), jnp.float32)
-    q, k, v = jnp.split(qkv, 3, axis=-1)
-    np.testing.assert_allclose(
-        np.asarray(small_attention_qkv(qkv, h, dh)),
-        np.asarray(_ref(q, k, v, h, dh)), atol=2e-5)
-
-    g1 = jax.grad(lambda a: jnp.sum(small_attention_qkv(a, h, dh) ** 2))(qkv)
-    g2 = jax.grad(
-        lambda a: jnp.sum(_ref(*jnp.split(a, 3, axis=-1), h, dh) ** 2))(qkv)
-    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
-                               rtol=1e-3, atol=5e-4)
