@@ -44,6 +44,10 @@ def get_args():
     p.add_argument("--clip_grad", type=float, default=None)
     p.add_argument("--skip_grad", type=float, default=None)
     p.add_argument("--task_balancer", type=str, default=None)
+    p.add_argument("--fused_adamw", action="store_true", default=None,
+                   help="flat-vector fused AdamW (default on; numerically "
+                        "identical to the optax chain)")
+    p.add_argument("--no_fused_adamw", action="store_false", dest="fused_adamw")
     p.add_argument("--data_path", type=str, default=None,
                    help="DFC2023-layout dir; synthetic data if empty")
     p.add_argument("--random_crop", action="store_true",
@@ -104,7 +108,7 @@ def build_config(args):
         mask_kw["sample_tasks_uniformly"] = True
     optim_kw = {k: getattr(args, k) for k in
                 ("blr", "warmup_epochs", "weight_decay", "clip_grad", "skip_grad",
-                 "task_balancer") if getattr(args, k) is not None}
+                 "task_balancer", "fused_adamw") if getattr(args, k) is not None}
     train_kw = {k: getattr(args, k) for k in
                 ("epochs", "save_ckpt_freq", "seed", "output_dir", "compute_dtype",
                  "use_ema")
