@@ -31,6 +31,33 @@ BASELINE_FILE = os.path.join(ROOT, "BENCH_BASELINE.json")
 REF_TIMING_FILE = os.path.join(ROOT, "REFERENCE_TIMING.json")
 
 
+def wait_for_device(budget_s: float) -> bool:
+    """Probe backend initialization in a SUBPROCESS (a hung tunnel blocks
+    jax.devices() in-process with no timeout) and retry until the device
+    answers or the budget runs out. Today's axon tunnel has multi-hour
+    outages; the driver runs this file exactly once per round, so a bounded
+    wait beats recording a dead round."""
+    import subprocess
+    import sys as _sys
+
+    t0 = time.time()
+    while True:
+        try:
+            r = subprocess.run(
+                [_sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=120, capture_output=True,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() - t0 >= budget_s:
+            return False
+        print(json.dumps({"metric": "device_probe",
+                          "note": "backend unavailable, retrying"}))
+        time.sleep(30)
+
+
 def bench_infer_latency():
     """p50 single-tile infer latency (BASELINE.json:2 'p50 infer_mmae tile
     latency'): batch-1 full forward of the flagship, seeded random masks,
@@ -317,4 +344,5 @@ def main():
 
 
 if __name__ == "__main__":
+    wait_for_device(float(os.environ.get("BENCH_WAIT_DEVICE_S", "900")))
     main()
