@@ -32,10 +32,11 @@ K = 3  # semantic classes
 
 def make_sample(rng: np.random.Generator, img: int):
     label = np.ones((img, img), np.int32)  # class 1 background
-    # class 3: 1-2 horizontal bands
+    # class 3: 1-2 horizontal bands, >= img/6 thick — the mask head predicts
+    # at image/4 resolution, so features must survive 4x downsampling
     for _ in range(rng.integers(1, 3)):
-        y0 = int(rng.integers(0, img - 8))
-        label[y0:y0 + int(rng.integers(6, 14))] = 3
+        y0 = int(rng.integers(0, img - img // 4))
+        label[y0:y0 + int(rng.integers(img // 6, img // 3))] = 3
     # class 2: 1-3 bright rectangles (drawn last: wins overlaps)
     for _ in range(rng.integers(1, 4)):
         h, w = rng.integers(10, img // 2, 2)
@@ -59,10 +60,13 @@ def make_batch(rng, b, img):
     xs, labels = zip(*(make_sample(rng, img) for _ in range(b)))
     batch = {d: np.stack([s[d] for s in xs]) for d in DOMAINS}
     label_map = np.stack(labels)  # [B, H, W] 1-based
-    # per-class region targets (labels 0-based for the criterion)
+    # per-class region targets with RAW 1-based labels — the reference
+    # semantic convention (maskformer_train_seg.py:318-323 _get_binary_mask
+    # keeps onehot[1:], :305 semantic_inference drops softmax channel 0):
+    # model num_classes = K+1, channel 0 dead, channels 1..K real, void last
     masks = np.stack([np.stack([(lm == c + 1) for c in range(K)])
                       for lm in labels]).astype(np.float32)  # [B, K, H, W]
-    tlabels = np.tile(np.arange(K, dtype=np.int32), (b, 1))
+    tlabels = np.tile(np.arange(1, K + 1, dtype=np.int32), (b, 1))
     valid = masks.reshape(b, K, -1).any(-1)
     return batch, masks, tlabels, valid, label_map
 
@@ -95,13 +99,13 @@ def main():
 
     if args.tiny:
         cfg = MaskFormerConfig(
-            num_classes=K, image_size=64, dim_tokens=32, depth=2, dim_head=8,
+            num_classes=K + 1, image_size=64, dim_tokens=32, depth=2, dim_head=8,
             heads=2, num_fusion_tokens=16, conv_dim=32, mask_dim=32,
             transformer_enc_layers=1, num_queries=8, dec_layers=2,
             dim_feedforward=64, frozen_stages=0,
         )
     else:
-        cfg = MaskFormerConfig(num_classes=K, num_queries=20, frozen_stages=0)
+        cfg = MaskFormerConfig(num_classes=K + 1, num_queries=20, frozen_stages=0)
     img = cfg.image_size
     model = MaskFormerModel(cfg)
     rng = np.random.default_rng(20260818)
@@ -135,9 +139,9 @@ def main():
             print(f"step {i}: loss {l:.4f} ({time.time()-t0:.0f}s)", flush=True)
             assert np.isfinite(l), "non-finite loss"
 
-    # ---- held-out per-pixel eval
+    # ---- held-out per-pixel eval; preds run 1..K+1 (K+1 = void wins)
     pred_step = jax.jit(ds.make_semantic_pred_step(model, cfg))
-    cm = ConfMatrix(K + 1)  # 1-based classes, 0 = ignore
+    cm = ConfMatrix(K + 2)  # 1-based classes, 0 = ignore, K+1 = void
     n_eval = max(1, args.eval_images // args.batch)
     for _ in range(n_eval):
         ebatch_np, _, _, _, elabel = make_batch(rng, args.batch, img)
@@ -145,8 +149,9 @@ def main():
         pred = np.asarray(pred_step(state.params, ebatch))  # [B, H, W] 1-based
         cm.add(elabel, pred)
 
-    miou = float(cm.get_miou())
-    aa = float(cm.get_aa()) if hasattr(cm, "get_aa") else None
+    per_class = cm.get_iou()[1:K + 1]  # the K real classes
+    miou = float(np.mean(per_class))
+    aa = float(cm.get_aa())
     result = {
         "task": "semantic_synthetic_3class",
         "steps": args.steps,
@@ -154,7 +159,7 @@ def main():
         "loss_last": losses[-1][1],
         "miou": miou,
         "aa": aa,
-        "per_class_iou": [float(v) for v in cm.get_iou()],
+        "per_class_iou": [float(v) for v in per_class],
     }
     print(json.dumps(result))
     out = args.out or os.path.join(os.path.dirname(os.path.dirname(
