@@ -17,10 +17,18 @@ import numpy as np
 
 
 def semantic_inference(mask_cls: jnp.ndarray, mask_pred: jnp.ndarray) -> jnp.ndarray:
-    """softmax(cls)[..., 1:] x sigmoid(mask) -> [B, K-?, H, W]
-    (maskformer_train_ins_vit.py:325-329 omits class 0; note the semantic
-    trainer variant omits the LAST class instead — pass `skip_first=False`
-    upstream if needed)."""
+    """softmax(cls)[..., 1:] x sigmoid(mask) -> [B, num_classes, H, W]
+    (maskformer_train_ins_vit.py:325-329 AND maskformer_train_seg.py:305 —
+    both reference trainers drop softmax channel 0).
+
+    Label convention this implies (and tools/train_semantic_synthetic.py
+    follows): semantic GT labels are 1-BASED with 0 = ignore; the criterion
+    receives the raw 1-based ids, so logits channel 0 is a dead class that
+    never appears as a target and void sits at channel num_classes (last).
+    Dropping channel 0 aligns kept-channel j with label j+1; the void channel
+    survives in the kept set, so argmax can emit label num_classes+... = void
+    (counted wrong against any GT — the reference has the same property).
+    Feeding 0-BASED labels here silently misaligns every class by one."""
     cls = jax.nn.softmax(mask_cls, axis=-1)[..., 1:]
     m = jax.nn.sigmoid(mask_pred)
     return jnp.einsum("bqc,bqhw->bchw", cls, m)
