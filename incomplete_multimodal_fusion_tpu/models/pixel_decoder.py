@@ -51,13 +51,13 @@ class MSDeformAttnEncoderLayer(nn.Module):
             q, reference_points, src, spatial_shapes
         )
         src2 = nn.Dropout(self.dropout, deterministic=deterministic)(src2)
-        src = nn.LayerNorm(name="norm1")(src + src2)
+        src = nn.LayerNorm(epsilon=1e-5, name="norm1")(src + src2)
         h = nn.Dense(self.d_ffn, kernel_init=nn.initializers.xavier_uniform(), name="linear1")(src)
         h = nn.relu(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = nn.Dense(self.d_model, kernel_init=nn.initializers.xavier_uniform(), name="linear2")(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        return nn.LayerNorm(name="norm2")(src + h)
+        return nn.LayerNorm(epsilon=1e-5, name="norm2")(src + h)
 
 
 class MSDeformAttnPixelDecoder(nn.Module):
@@ -85,7 +85,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
             h, w = x.shape[1], x.shape[2]
             s = nn.Dense(self.conv_dim, kernel_init=nn.initializers.xavier_uniform(),
                          name=f"input_proj{idx}")(x)
-            s = nn.GroupNorm(num_groups=32, name=f"input_gn{idx}")(s)
+            s = nn.GroupNorm(num_groups=32, epsilon=1e-5, name=f"input_gn{idx}")(s)
             pos = position_embedding_sine(h, w, self.conv_dim // 2)
             srcs.append(s.reshape(s.shape[0], h * w, self.conv_dim))
             poss.append(jnp.broadcast_to(pos.reshape(1, h * w, self.conv_dim), srcs[-1].shape))
@@ -119,7 +119,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
         x2 = features[0].astype(jnp.float32)
         lat = nn.Dense(self.conv_dim, kernel_init=nn.initializers.xavier_uniform(),
                        name="fpn_lateral")(x2)
-        lat = nn.relu(nn.GroupNorm(num_groups=32, name="fpn_lateral_gn")(lat))
+        lat = nn.relu(nn.GroupNorm(num_groups=32, epsilon=1e-5, name="fpn_lateral_gn")(lat))
         up = jax.image.resize(
             out[-1], (out[-1].shape[0],) + x2.shape[1:3] + (self.conv_dim,),
             method="bilinear",
@@ -127,7 +127,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
         y = lat + up
         y = nn.Conv(self.conv_dim, (3, 3), padding="SAME",
                     kernel_init=nn.initializers.xavier_uniform(), name="fpn_output")(y)
-        y = nn.relu(nn.GroupNorm(num_groups=32, name="fpn_output_gn")(y))
+        y = nn.relu(nn.GroupNorm(num_groups=32, epsilon=1e-5, name="fpn_output_gn")(y))
         out.append(y)
 
         mask_features = nn.Dense(
