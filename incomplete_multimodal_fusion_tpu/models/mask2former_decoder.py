@@ -52,7 +52,7 @@ class CrossAttentionLayer(nn.Module):
         tgt2 = MHA(self.d_model, self.n_heads, name="mha")(
             tgt + query_pos, memory + pos, memory, attn_mask=attn_mask
         )
-        return nn.LayerNorm(name="norm")(tgt + tgt2)
+        return nn.LayerNorm(epsilon=1e-5, name="norm")(tgt + tgt2)
 
 
 class SelfAttentionLayer(nn.Module):
@@ -63,7 +63,7 @@ class SelfAttentionLayer(nn.Module):
     def __call__(self, tgt, query_pos):
         q = tgt + query_pos
         tgt2 = MHA(self.d_model, self.n_heads, name="mha")(q, q, tgt)
-        return nn.LayerNorm(name="norm")(tgt + tgt2)
+        return nn.LayerNorm(epsilon=1e-5, name="norm")(tgt + tgt2)
 
 
 class FFNLayer(nn.Module):
@@ -77,7 +77,7 @@ class FFNLayer(nn.Module):
         h = nn.relu(h)
         h = nn.Dense(self.d_model, kernel_init=nn.initializers.xavier_uniform(),
                      name="linear2")(h)
-        return nn.LayerNorm(name="norm")(tgt + h)
+        return nn.LayerNorm(epsilon=1e-5, name="norm")(tgt + h)
 
 
 class MLP(nn.Module):
@@ -138,7 +138,7 @@ class MultiScaleMaskedTransformerDecoder(nn.Module):
         output = jnp.broadcast_to(query_feat[None], (b, self.num_queries, d))
         qpos = jnp.broadcast_to(query_embed[None], (b, self.num_queries, d))
 
-        decoder_norm = nn.LayerNorm(name="decoder_norm")
+        decoder_norm = nn.LayerNorm(epsilon=1e-5, name="decoder_norm")
         class_embed = nn.Dense(self.num_classes + 1,
                                kernel_init=nn.initializers.xavier_uniform(),
                                name="class_embed")
@@ -150,8 +150,13 @@ class MultiScaleMaskedTransformerDecoder(nn.Module):
             m_emb = mask_embed_mlp(dec)  # [B, Q, mask_dim]
             masks = jnp.einsum("bqc,bhwc->bqhw", m_emb, mask_features)
             th, tw = target_size
+            # antialias=False: torch F.interpolate(bilinear, align_corners=
+            # False) does NOT filter on downsampling, and this resize is a
+            # 32->4/8/16 downsample — jax's default antialiased triangle
+            # kernel flips mask-threshold bits vs the reference
             small = jax.image.resize(
-                masks, (b, self.num_queries, th, tw), method="bilinear"
+                masks, (b, self.num_queries, th, tw), method="bilinear",
+                antialias=False,
             )
             # True = may attend (inverse of the torch key-mask convention)
             allowed = jax.lax.stop_gradient(jax.nn.sigmoid(small) >= 0.5)
