@@ -23,7 +23,11 @@ from typing import Dict, Mapping, Sequence
 
 import numpy as np
 
-__all__ = ["convert_multimae_state", "strip_prefixes"]
+__all__ = [
+    "convert_multimae_state", "convert_vit_baseline_state",
+    "convert_pixel_decoder_state", "convert_mask2former_decoder_state",
+    "convert_maskformer_state", "strip_prefixes",
+]
 
 
 def strip_prefixes(state: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
@@ -218,3 +222,179 @@ def convert_multimae_state(
             decoder_depth,
         )
     return params
+
+
+# ---------------------------------------------------------------------------
+# Downstream (MaskFormer) converters. Each mapping is pinned by a transplant
+# golden test against the executed reference: tests/test_vit_baseline_parity
+# .py, tests/test_pixel_decoder_parity.py, tests/test_mask2former_decoder_
+# parity.py.
+# ---------------------------------------------------------------------------
+
+def _convt(s: Mapping[str, np.ndarray], p: str) -> Dict:
+    """torch ConvTranspose2d [in, out, kh, kw] -> flax [kh, kw, in, out],
+    SPATIALLY FLIPPED: torch scatters weight[i, j] to output[p*s+i, q*s+j];
+    flax/lax.conv_transpose evaluates a fractionally-strided conv with the
+    unflipped kernel — for stride == kernel the two differ by a flip."""
+    return {
+        "kernel": np.ascontiguousarray(
+            s[f"{p}.weight"].transpose(2, 3, 0, 1)[::-1, ::-1]),
+        "bias": s[f"{p}.bias"],
+    }
+
+
+def _conv2d(s: Mapping[str, np.ndarray], p: str) -> Dict:
+    """torch Conv2d [O, I, kh, kw] -> flax Conv [kh, kw, I, O]."""
+    return {"kernel": np.ascontiguousarray(s[f"{p}.weight"].transpose(2, 3, 1, 0)),
+            "bias": s[f"{p}.bias"]}
+
+
+def _conv1x1_dense(s: Mapping[str, np.ndarray], p: str) -> Dict:
+    """torch 1x1 Conv2d -> flax Dense on the flattened map."""
+    return {"kernel": _lin(s[f"{p}.weight"][:, :, 0, 0]), "bias": s[f"{p}.bias"]}
+
+
+def _linear(s: Mapping[str, np.ndarray], p: str) -> Dict:
+    return {"kernel": _lin(s[f"{p}.weight"]), "bias": s[f"{p}.bias"]}
+
+
+def _ln(s: Mapping[str, np.ndarray], p: str) -> Dict:
+    return {"scale": s[f"{p}.weight"], "bias": s[f"{p}.bias"]}
+
+
+def _torch_mha(s: Mapping[str, np.ndarray], p: str, d: int) -> Dict:
+    """torch nn.MultiheadAttention (packed in_proj) -> models MHA module."""
+    inw, inb = s[f"{p}.in_proj_weight"], s[f"{p}.in_proj_bias"]
+    return {
+        "q_proj": {"kernel": _lin(inw[:d]), "bias": inb[:d]},
+        "k_proj": {"kernel": _lin(inw[d:2 * d]), "bias": inb[d:2 * d]},
+        "v_proj": {"kernel": _lin(inw[2 * d:]), "bias": inb[2 * d:]},
+        "out_proj": _linear(s, f"{p}.out_proj"),
+    }
+
+
+def convert_vit_baseline_state(
+    state: Mapping[str, np.ndarray],
+    in_domains: Sequence[str],
+    depth: int = 12,
+    prefix: str = "",
+) -> Dict:
+    """Reference downstream ViTBaseline (multimae_big_imcomplete.py:418-683)
+    -> flax params for models.vit_baseline.ViTBaseline (crossattn mode)."""
+    s = {k[len(prefix):]: np.asarray(v) for k, v in strip_prefixes(state).items()
+         if k.startswith(prefix)}
+    params: Dict = {
+        "fusion_tokens": s["fusion_tokens"],
+        "mask_embedding": s["mask_embedding"],
+        "norm": {"gamma": s["norm.gamma"]},
+        "pyramid": {
+            "up1_conv1": _convt(s, "up1.0"),
+            "up1_gn": {"scale": s["up1.1.weight"], "bias": s["up1.1.bias"]},
+            "up1_conv2": _convt(s, "up1.3"),
+            "up2_conv": _convt(s, "up2"),
+        },
+    }
+    for d in in_domains:
+        params[f"input_adapter_{d}"] = _input_adapter(s, f"input_adapters.{d}")
+    for i in range(depth):
+        params[f"block{i}"] = _encoder_block(s, f"blocks.{i}")
+        params[f"fus_block{i}"] = _fusion_block(s, f"fus_blocks.{i}")
+    return params
+
+
+def convert_pixel_decoder_state(
+    state: Mapping[str, np.ndarray],
+    enc_layers: int = 2,
+    num_levels: int = 3,
+    prefix: str = "",
+) -> Dict:
+    """Reference MSDeformAttnPixelDecoder (msdeformattn{_vit}.py) -> flax
+    params for models.pixel_decoder.MSDeformAttnPixelDecoder."""
+    s = {k[len(prefix):]: np.asarray(v) for k, v in strip_prefixes(state).items()
+         if k.startswith(prefix)}
+    params: Dict = {"level_embed": s["transformer.level_embed"],
+                    "fpn_lateral": _conv1x1_dense(s, "adapter_1.0"),
+                    "fpn_lateral_gn": _ln(s, "adapter_1.1"),
+                    "fpn_output": _conv2d(s, "layer_1.0"),
+                    "fpn_output_gn": _ln(s, "layer_1.1"),
+                    "mask_features": _conv1x1_dense(s, "mask_features")}
+    for i in range(num_levels):
+        params[f"input_proj{i}"] = _conv1x1_dense(s, f"input_proj.{i}.0")
+        params[f"input_gn{i}"] = _ln(s, f"input_proj.{i}.1")
+    for i in range(enc_layers):
+        p = f"transformer.encoder.layers.{i}"
+        params[f"enc_layer{i}"] = {
+            "self_attn": {
+                "sampling_offsets": _linear(s, f"{p}.self_attn.sampling_offsets"),
+                "attention_weights": _linear(s, f"{p}.self_attn.attention_weights"),
+                "value_proj": _linear(s, f"{p}.self_attn.value_proj"),
+                "output_proj": _linear(s, f"{p}.self_attn.output_proj"),
+            },
+            "norm1": _ln(s, f"{p}.norm1"),
+            "norm2": _ln(s, f"{p}.norm2"),
+            "linear1": _linear(s, f"{p}.linear1"),
+            "linear2": _linear(s, f"{p}.linear2"),
+        }
+    return params
+
+
+def convert_mask2former_decoder_state(
+    state: Mapping[str, np.ndarray],
+    hidden_dim: int = 256,
+    dec_layers: int = 3,
+    prefix: str = "",
+) -> Dict:
+    """Reference MultiScaleMaskedTransformerDecoder -> flax params for
+    models.mask2former_decoder.MultiScaleMaskedTransformerDecoder."""
+    s = {k[len(prefix):]: np.asarray(v) for k, v in strip_prefixes(state).items()
+         if k.startswith(prefix)}
+    d = hidden_dim
+    params: Dict = {
+        "query_feat": s["query_feat.weight"],
+        "query_embed": s["query_embed.weight"],
+        "level_embed": s["level_embed.weight"],
+        "decoder_norm": _ln(s, "decoder_norm"),
+        "class_embed": _linear(s, "class_embed"),
+        "mask_embed": {f"layer{i}": _linear(s, f"mask_embed.layers.{i}")
+                       for i in range(3)},
+    }
+    for i in range(dec_layers):
+        params[f"cross{i}"] = {
+            "mha": _torch_mha(s, f"transformer_cross_attention_layers.{i}.multihead_attn", d),
+            "norm": _ln(s, f"transformer_cross_attention_layers.{i}.norm"),
+        }
+        params[f"self{i}"] = {
+            "mha": _torch_mha(s, f"transformer_self_attention_layers.{i}.self_attn", d),
+            "norm": _ln(s, f"transformer_self_attention_layers.{i}.norm"),
+        }
+        params[f"ffn{i}"] = {
+            "linear1": _linear(s, f"transformer_ffn_layers.{i}.linear1"),
+            "linear2": _linear(s, f"transformer_ffn_layers.{i}.linear2"),
+            "norm": _ln(s, f"transformer_ffn_layers.{i}.norm"),
+        }
+    return params
+
+
+def convert_maskformer_state(
+    state: Mapping[str, np.ndarray],
+    in_domains: Sequence[str],
+    depth: int = 12,
+    enc_layers: int = 2,
+    dec_layers: int = 3,
+    hidden_dim: int = 256,
+    backbone_prefix: str = "backbone.",
+    pixel_decoder_prefix: str = "sem_seg_head.pixel_decoder.",
+    predictor_prefix: str = "sem_seg_head.predictor.",
+) -> Dict:
+    """Full reference downstream checkpoint (MaskFormerModel_vit.py
+    composition: backbone + sem_seg_head.{pixel_decoder,predictor}) -> the
+    flax param tree models.maskformer.MaskFormerModel initializes."""
+    return {
+        "backbone": convert_vit_baseline_state(
+            state, in_domains, depth=depth, prefix=backbone_prefix),
+        "pixel_decoder": convert_pixel_decoder_state(
+            state, enc_layers=enc_layers, prefix=pixel_decoder_prefix),
+        "predictor": convert_mask2former_decoder_state(
+            state, hidden_dim=hidden_dim, dec_layers=dec_layers,
+            prefix=predictor_prefix),
+    }

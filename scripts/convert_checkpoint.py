@@ -37,6 +37,13 @@ def main(argv=None):
     p.add_argument("--decoder_depth", type=int, default=2)
     p.add_argument("--fusion_mode", default="crossattn",
                    choices=["crossattn", "crossattn_v1"])
+    p.add_argument("--arch", default="multimae",
+                   choices=["multimae", "maskformer"],
+                   help="multimae = pretraining checkpoint; maskformer = "
+                        "downstream (backbone + pixel decoder + predictor)")
+    p.add_argument("--enc_layers", type=int, default=2)
+    p.add_argument("--dec_layers", type=int, default=3)
+    p.add_argument("--hidden_dim", type=int, default=256)
     p.add_argument("--step", type=int, default=0, help="step label for the ckpt")
     args = p.parse_args(argv)
 
@@ -50,11 +57,20 @@ def main(argv=None):
     out_domains = tuple((args.out_domains or args.in_domains).split("-"))
     out_channels = {d: modreg.get(d).num_channels for d in out_domains}
 
-    params = convert_multimae_state(
-        state, in_domains, out_domains, out_channels,
-        patch_size=args.patch_size, depth=args.depth,
-        decoder_depth=args.decoder_depth, fusion_mode=args.fusion_mode,
-    )
+    if args.arch == "maskformer":
+        from incomplete_multimodal_fusion_tpu.utils.torch_convert import (
+            convert_maskformer_state)
+
+        params = convert_maskformer_state(
+            state, in_domains, depth=args.depth, enc_layers=args.enc_layers,
+            dec_layers=args.dec_layers, hidden_dim=args.hidden_dim,
+        )
+    else:
+        params = convert_multimae_state(
+            state, in_domains, out_domains, out_channels,
+            patch_size=args.patch_size, depth=args.depth,
+            decoder_depth=args.decoder_depth, fusion_mode=args.fusion_mode,
+        )
 
     from incomplete_multimodal_fusion_tpu.utils import checkpoint as ckpt_lib
 

@@ -39,33 +39,15 @@ def _lin(w, prefix):
 
 
 def test_mask2former_decoder_golden():
+    from incomplete_multimodal_fusion_tpu.utils.torch_convert import (
+        convert_mask2former_decoder_state)
+
     g = np.load(GOLDEN)
     w = {k[len("w_"):]: g[k] for k in g.files if k.startswith("w_")}
-
-    params = {
-        "query_feat": w["query_feat.weight"],
-        "query_embed": w["query_embed.weight"],
-        "level_embed": w["level_embed.weight"],
-        "decoder_norm": _norm(w, "decoder_norm"),
-        "class_embed": _lin(w, "class_embed"),
-        "mask_embed": {f"layer{i}": _lin(w, f"mask_embed.layers.{i}")
-                       for i in range(3)},
-    }
-    for i in range(LAYERS):
-        params[f"cross{i}"] = {
-            "mha": _mha(w, f"transformer_cross_attention_layers.{i}.multihead_attn"),
-            "norm": _norm(w, f"transformer_cross_attention_layers.{i}.norm"),
-        }
-        params[f"self{i}"] = {
-            "mha": _mha(w, f"transformer_self_attention_layers.{i}.self_attn"),
-            "norm": _norm(w, f"transformer_self_attention_layers.{i}.norm"),
-        }
-        params[f"ffn{i}"] = {
-            "linear1": _lin(w, f"transformer_ffn_layers.{i}.linear1"),
-            "linear2": _lin(w, f"transformer_ffn_layers.{i}.linear2"),
-            "norm": _norm(w, f"transformer_ffn_layers.{i}.norm"),
-        }
-    params = jax.tree.map(jnp.asarray, params)
+    # the library converter (MIGRATION.md path) IS the mapping under test
+    params = jax.tree.map(
+        jnp.asarray,
+        convert_mask2former_decoder_state(w, hidden_dim=D, dec_layers=LAYERS))
 
     x = [jnp.asarray(g[f"x_{i}"].transpose(0, 2, 3, 1)) for i in range(3)]
     mf = jnp.asarray(g["mask_features"].transpose(0, 2, 3, 1))

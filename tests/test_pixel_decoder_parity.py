@@ -17,49 +17,14 @@ from incomplete_multimodal_fusion_tpu.models.pixel_decoder import (
 GOLDEN = pathlib.Path(__file__).parent / "golden" / "pixel_decoder_golden.npz"
 
 
-def _lin(w, prefix):
-    return {"kernel": w[f"{prefix}.weight"].T, "bias": w[f"{prefix}.bias"]}
-
-
-def _conv1x1(w, prefix):
-    # torch [O, I, 1, 1] -> flax Dense [I, O]
-    return {"kernel": w[f"{prefix}.weight"][:, :, 0, 0].T,
-            "bias": w[f"{prefix}.bias"]}
-
-
-def _gn(w, prefix):
-    return {"scale": w[f"{prefix}.weight"], "bias": w[f"{prefix}.bias"]}
-
-
 def test_pixel_decoder_golden():
+    from incomplete_multimodal_fusion_tpu.utils.torch_convert import (
+        convert_pixel_decoder_state)
+
     g = np.load(GOLDEN)
     w = {k[len("w_"):]: g[k] for k in g.files if k.startswith("w_")}
-
-    params = {"level_embed": w["transformer.level_embed"]}
-    for i in range(3):
-        params[f"input_proj{i}"] = _conv1x1(w, f"input_proj.{i}.0")
-        params[f"input_gn{i}"] = _gn(w, f"input_proj.{i}.1")
-    p = "transformer.encoder.layers.0"
-    params["enc_layer0"] = {
-        "self_attn": {
-            "sampling_offsets": _lin(w, f"{p}.self_attn.sampling_offsets"),
-            "attention_weights": _lin(w, f"{p}.self_attn.attention_weights"),
-            "value_proj": _lin(w, f"{p}.self_attn.value_proj"),
-            "output_proj": _lin(w, f"{p}.self_attn.output_proj"),
-        },
-        "norm1": {"scale": w[f"{p}.norm1.weight"], "bias": w[f"{p}.norm1.bias"]},
-        "norm2": {"scale": w[f"{p}.norm2.weight"], "bias": w[f"{p}.norm2.bias"]},
-        "linear1": _lin(w, f"{p}.linear1"),
-        "linear2": _lin(w, f"{p}.linear2"),
-    }
-    params["fpn_lateral"] = _conv1x1(w, "adapter_1.0")
-    params["fpn_lateral_gn"] = _gn(w, "adapter_1.1")
-    # torch conv [O, I, 3, 3] -> flax [3, 3, I, O]
-    params["fpn_output"] = {"kernel": w["layer_1.0.weight"].transpose(2, 3, 1, 0),
-                            "bias": w["layer_1.0.bias"]}
-    params["fpn_output_gn"] = _gn(w, "layer_1.1")
-    params["mask_features"] = _conv1x1(w, "mask_features")
-    params = jax.tree.map(jnp.asarray, params)
+    # the library converter (MIGRATION.md path) IS the mapping under test
+    params = jax.tree.map(jnp.asarray, convert_pixel_decoder_state(w, enc_layers=1))
 
     # NCHW golden inputs -> NHWC, res2..res5 high->low resolution
     feats = [jnp.asarray(g[f"x_res{i}"].transpose(0, 2, 3, 1))

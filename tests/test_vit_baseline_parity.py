@@ -20,35 +20,12 @@ F = (IMG // PATCH) ** 2
 DOMAINS = ("s1", "s2", "dem")
 
 
-def _convt(w, prefix):
-    # torch ConvTranspose2d [in, out, kh, kw] -> flax [kh, kw, in, out],
-    # SPATIALLY FLIPPED: torch scatters weight[i, j] to output[p*s+i, q*s+j]
-    # while flax/lax.conv_transpose evaluates a fractionally-strided conv
-    # with the unflipped kernel — for s == k the two differ by a spatial flip
-    return {"kernel": w[f"{prefix}.weight"].transpose(2, 3, 0, 1)[::-1, ::-1],
-            "bias": w[f"{prefix}.bias"]}
-
-
 def test_vit_baseline_golden():
     g = np.load(GOLDEN)
     w = {k[len("w_"):]: g[k] for k in g.files if k.startswith("w_")}
 
-    params = {
-        "fusion_tokens": w["fusion_tokens"],
-        "mask_embedding": w["mask_embedding"],
-        "norm": {"gamma": w["norm.gamma"]},
-        "pyramid": {
-            "up1_conv1": _convt(w, "up1.0"),
-            "up1_gn": {"scale": w["up1.1.weight"], "bias": w["up1.1.bias"]},
-            "up1_conv2": _convt(w, "up1.3"),
-            "up2_conv": _convt(w, "up2"),
-        },
-    }
-    for d in DOMAINS:
-        params[f"input_adapter_{d}"] = tc._input_adapter(w, f"input_adapters.{d}")
-    for i in range(DEPTH):
-        params[f"block{i}"] = tc._encoder_block(w, f"blocks.{i}")
-        params[f"fus_block{i}"] = tc._fusion_block(w, f"fus_blocks.{i}")
+    # the library converter (MIGRATION.md path) IS the mapping under test
+    params = tc.convert_vit_baseline_state(w, DOMAINS, depth=DEPTH)
     params = jax.tree.map(jnp.asarray, params)
 
     x = {d: jnp.asarray(g[f"x_{d}"].transpose(0, 2, 3, 1)) for d in DOMAINS}
