@@ -24,6 +24,9 @@ class FrozenBatchNorm(nn.Module):
         return x * scale + bias
 
 
+# 3x3 convs use explicit (1,1) padding, NOT "SAME": torch Conv2d(k=3, p=1)
+# pads both sides regardless of stride, while lax SAME at stride 2 pads
+# (0,1) — spatially shifted features (caught by tests/test_resnet_parity.py)
 class BasicBlock(nn.Module):
     features: int
     strides: int = 1
@@ -32,10 +35,10 @@ class BasicBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         residual = x
         y = nn.Conv(self.features, (3, 3), strides=(self.strides, self.strides),
-                    padding="SAME", use_bias=False, name="conv1")(x)
+                    padding=[(1, 1), (1, 1)], use_bias=False, name="conv1")(x)
         y = FrozenBatchNorm(name="bn1")(y)
         y = nn.relu(y)
-        y = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False,
+        y = nn.Conv(self.features, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
                     name="conv2")(y)
         y = FrozenBatchNorm(name="bn2")(y)
         if residual.shape != y.shape:
@@ -58,7 +61,7 @@ class Bottleneck(nn.Module):
         y = FrozenBatchNorm(name="bn1")(y)
         y = nn.relu(y)
         y = nn.Conv(self.features, (3, 3), strides=(self.strides, self.strides),
-                    padding="SAME", use_bias=False, name="conv2")(y)
+                    padding=[(1, 1), (1, 1)], use_bias=False, name="conv2")(y)
         y = FrozenBatchNorm(name="bn2")(y)
         y = nn.relu(y)
         y = nn.Conv(self.features * self.expansion, (1, 1), use_bias=False,
