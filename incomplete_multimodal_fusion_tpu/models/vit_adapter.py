@@ -31,7 +31,10 @@ class SpatialPriorModule(nn.Module):
     @nn.compact
     def __call__(self, x):
         def conv_gn_relu(y, feats, strides, name):
-            y = nn.Conv(feats, (3, 3), strides=(strides, strides), padding="SAME",
+            # explicit (1,1), not SAME: torch Conv2d(k=3, p=1) pads both
+            # sides at stride 2; SAME pads (0,1) (see models/resnet.py note)
+            y = nn.Conv(feats, (3, 3), strides=(strides, strides),
+                        padding=[(1, 1), (1, 1)],
                         use_bias=False, name=name)(y)
             y = nn.GroupNorm(num_groups=min(32, feats), name=name + "_gn")(y)
             return nn.relu(y)
