@@ -72,6 +72,12 @@ class MSDeformAttnPixelDecoder(nn.Module):
     dim_feedforward: int = 1024
     n_points: int = 4
     dropout: float = 0.1
+    # The reference FULL model runs TWO FPN steps (res3 then res2), because
+    # MaskFormerModel_vit.py:92-94 labels the backbone strides 8..64 (the
+    # true strides are 4..32) and num_fpn_levels = log2(min_stride) -
+    # log2(common_stride) = 2. Faithfully reproduced (adapter_2/layer_2 ->
+    # fpn_lateral2/fpn_output2); set 1 for the geometry-correct single step.
+    num_fpn_levels: int = 2
 
     @nn.compact
     def __call__(self, features: List[jnp.ndarray], deterministic: bool = True):
@@ -115,20 +121,31 @@ class MSDeformAttnPixelDecoder(nn.Module):
             out.append(src[:, start : start + h * w].reshape(-1, h, w, self.conv_dim))
             start += h * w
 
-        # FPN step down to res2 (msdeformattn_vit.py:244-308)
-        x2 = features[0].astype(jnp.float32)
-        lat = nn.Dense(self.conv_dim, kernel_init=nn.initializers.xavier_uniform(),
-                       name="fpn_lateral")(x2)
-        lat = nn.relu(nn.GroupNorm(num_groups=32, epsilon=1e-5, name="fpn_lateral_gn")(lat))
-        up = jax.image.resize(
-            out[-1], (out[-1].shape[0],) + x2.shape[1:3] + (self.conv_dim,),
-            method="bilinear",
-        )
-        y = lat + up
-        y = nn.Conv(self.conv_dim, (3, 3), padding="SAME",
-                    kernel_init=nn.initializers.xavier_uniform(), name="fpn_output")(y)
-        y = nn.relu(nn.GroupNorm(num_groups=32, epsilon=1e-5, name="fpn_output_gn")(y))
-        out.append(y)
+        # FPN steps down to res2 (msdeformattn_vit.py:244-308). With
+        # num_fpn_levels == 2 the first step laterals res3 (reference
+        # adapter_2/layer_2 -> *2 names), then res2 (adapter_1 -> unsuffixed
+        # names, kept for checkpoint compatibility with the 1-level layout).
+        fpn_inputs = features[:self.num_fpn_levels][::-1]  # low -> high res
+        for j, xf in enumerate(fpn_inputs):
+            adapter_num = self.num_fpn_levels - j  # reference adapter index
+            sfx = "" if adapter_num == 1 else str(adapter_num)
+            xf = xf.astype(jnp.float32)
+            lat = nn.Dense(self.conv_dim,
+                           kernel_init=nn.initializers.xavier_uniform(),
+                           name=f"fpn_lateral{sfx}")(xf)
+            lat = nn.relu(nn.GroupNorm(num_groups=32, epsilon=1e-5,
+                                       name=f"fpn_lateral{sfx}_gn")(lat))
+            up = jax.image.resize(
+                out[-1], (out[-1].shape[0],) + xf.shape[1:3] + (self.conv_dim,),
+                method="bilinear",
+            )
+            y = lat + up
+            y = nn.Conv(self.conv_dim, (3, 3), padding="SAME",
+                        kernel_init=nn.initializers.xavier_uniform(),
+                        name=f"fpn_output{sfx}")(y)
+            y = nn.relu(nn.GroupNorm(num_groups=32, epsilon=1e-5,
+                                     name=f"fpn_output{sfx}_gn")(y))
+            out.append(y)
 
         mask_features = nn.Dense(
             self.mask_dim, kernel_init=nn.initializers.xavier_uniform(),

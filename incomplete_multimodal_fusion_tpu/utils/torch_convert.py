@@ -318,6 +318,13 @@ def convert_pixel_decoder_state(
                     "fpn_output": _conv2d(s, "layer_1.0"),
                     "fpn_output_gn": _ln(s, "layer_1.1"),
                     "mask_features": _conv1x1_dense(s, "mask_features")}
+    n = 2
+    while f"adapter_{n}.0.weight" in s:  # extra FPN levels (full-model quirk)
+        params[f"fpn_lateral{n}"] = _conv1x1_dense(s, f"adapter_{n}.0")
+        params[f"fpn_lateral{n}_gn"] = _ln(s, f"adapter_{n}.1")
+        params[f"fpn_output{n}"] = _conv2d(s, f"layer_{n}.0")
+        params[f"fpn_output{n}_gn"] = _ln(s, f"layer_{n}.1")
+        n += 1
     for i in range(num_levels):
         params[f"input_proj{i}"] = _conv1x1_dense(s, f"input_proj.{i}.0")
         params[f"input_gn{i}"] = _ln(s, f"input_proj.{i}.1")

@@ -30,9 +30,12 @@ def test_pixel_decoder_golden():
     feats = [jnp.asarray(g[f"x_res{i}"].transpose(0, 2, 3, 1))
              for i in (2, 3, 4, 5)]
 
+    # the golden was generated with true strides (4/8/16/32) -> the reference
+    # built ONE fpn level; the full-model quirk (2 levels) is pinned by
+    # tests/test_full_maskformer_parity.py
     model = MSDeformAttnPixelDecoder(
         conv_dim=32, mask_dim=32, transformer_enc_layers=1, n_heads=8,
-        dim_feedforward=64, n_points=4, dropout=0.0)
+        dim_feedforward=64, n_points=4, dropout=0.0, num_fpn_levels=1)
     mask_features, ms = model.apply({"params": params}, feats,
                                     deterministic=True)
 
@@ -52,7 +55,7 @@ def test_param_structure_matches_init():
              for i in (2, 3, 4, 5)]
     model = MSDeformAttnPixelDecoder(
         conv_dim=32, mask_dim=32, transformer_enc_layers=1, n_heads=8,
-        dim_feedforward=64, n_points=4, dropout=0.0)
+        dim_feedforward=64, n_points=4, dropout=0.0, num_fpn_levels=1)
     init = model.init(jax.random.PRNGKey(0), feats)["params"]
     init_paths = {"/".join(str(k.key) for k in p)
                   for p, _ in jax.tree_util.tree_leaves_with_path(init)}
