@@ -20,6 +20,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
+import sys
 import time
 
 import jax
@@ -344,5 +345,15 @@ def main():
 
 
 if __name__ == "__main__":
-    wait_for_device(float(os.environ.get("BENCH_WAIT_DEVICE_S", "900")))
+    if not wait_for_device(float(os.environ.get("BENCH_WAIT_DEVICE_S", "900"))):
+        # Exit with a parseable record rather than falling into main(),
+        # whose first in-process backend touch would hang with no timeout.
+        print(json.dumps({
+            "metric": "s1s2_multimae_pretrain_patches_per_sec_per_chip",
+            "value": None,
+            "unit": "patches/sec/chip",
+            "error": "TPU backend unavailable after wait budget "
+                     "(axon tunnel outage)",
+        }))
+        sys.exit(2)
     main()

@@ -44,6 +44,9 @@ class MaskFormerConfig:
     conv_dim: int = 256
     mask_dim: int = 256
     transformer_enc_layers: int = 2
+    # 2 = the reference full model's double FPN step (see pixel_decoder.py);
+    # 1 = geometry-correct single step / pre-round-3 checkpoints
+    num_fpn_levels: int = 2
     num_queries: int = 100
     dec_layers: int = 3
     dim_feedforward: int = 2048
@@ -128,6 +131,7 @@ class MaskFormerModel(nn.Module):
             conv_dim=c.conv_dim,
             mask_dim=c.mask_dim,
             transformer_enc_layers=c.transformer_enc_layers,
+            num_fpn_levels=getattr(c, "num_fpn_levels", 2),
             name="pixel_decoder",
         )(feats, deterministic=deterministic)
 

@@ -66,9 +66,20 @@ def restore_params(directory: str, params_template: Any, step: Optional[int] = N
 
     flat_t = flax.traverse_util.flatten_dict(params_template)
     flat_s = flax.traverse_util.flatten_dict(source)
+    unmatched = []
     for k in flat_t:
         if k in flat_s and flat_s[k].shape == flat_t[k].shape:
             flat_t[k] = flat_t[k].__class__(flat_s[k]) if not hasattr(flat_s[k], "device") else flat_s[k]
+        else:
+            unmatched.append("/".join(map(str, k)))
+    if unmatched:
+        # mirror the reference's lenient-load report (checkpoint.py:26-72
+        # prints missing/unexpected keys) — silent random init hides e.g. a
+        # num_fpn_levels mismatch between checkpoint and model
+        print(f"restore_params: {len(unmatched)} param(s) not found in "
+              f"checkpoint (left at template init): "
+              f"{', '.join(unmatched[:8])}"
+              f"{' ...' if len(unmatched) > 8 else ''}")
     return flax.traverse_util.unflatten_dict(flat_t)
 
 

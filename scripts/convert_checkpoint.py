@@ -55,7 +55,6 @@ def main(argv=None):
 
     in_domains = tuple(args.in_domains.split("-"))
     out_domains = tuple((args.out_domains or args.in_domains).split("-"))
-    out_channels = {d: modreg.get(d).num_channels for d in out_domains}
 
     if args.arch == "maskformer":
         from incomplete_multimodal_fusion_tpu.utils.torch_convert import (
@@ -66,6 +65,9 @@ def main(argv=None):
             dec_layers=args.dec_layers, hidden_dim=args.hidden_dim,
         )
     else:
+        # channel counts only matter for the pretraining decoders; resolving
+        # them here keeps --arch maskformer usable with unregistered domains
+        out_channels = {d: modreg.get(d).num_channels for d in out_domains}
         params = convert_multimae_state(
             state, in_domains, out_domains, out_channels,
             patch_size=args.patch_size, depth=args.depth,

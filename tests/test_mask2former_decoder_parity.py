@@ -19,25 +19,6 @@ GOLDEN = (pathlib.Path(__file__).parent / "golden" /
 D, Q, HEADS, FF, LAYERS, K, MD = 32, 5, 4, 64, 3, 3, 16
 
 
-def _mha(w, prefix):
-    inw, inb = w[f"{prefix}.in_proj_weight"], w[f"{prefix}.in_proj_bias"]
-    return {
-        "q_proj": {"kernel": inw[:D].T, "bias": inb[:D]},
-        "k_proj": {"kernel": inw[D:2 * D].T, "bias": inb[D:2 * D]},
-        "v_proj": {"kernel": inw[2 * D:].T, "bias": inb[2 * D:]},
-        "out_proj": {"kernel": w[f"{prefix}.out_proj.weight"].T,
-                     "bias": w[f"{prefix}.out_proj.bias"]},
-    }
-
-
-def _norm(w, prefix):
-    return {"scale": w[f"{prefix}.weight"], "bias": w[f"{prefix}.bias"]}
-
-
-def _lin(w, prefix):
-    return {"kernel": w[f"{prefix}.weight"].T, "bias": w[f"{prefix}.bias"]}
-
-
 def test_mask2former_decoder_golden():
     from incomplete_multimodal_fusion_tpu.utils.torch_convert import (
         convert_mask2former_decoder_state)
