@@ -106,6 +106,11 @@ class TrainConfig:
     contra_weight: float = 0.3  # pretrain_mmae.py:500
     loss_on_unmasked: bool = False
     compute_dtype: str = "bfloat16"  # TPU-native AMP; 'float32' for parity tests
+    # patch-layout reconstruction losses (losses/masked.py *_patch): skips
+    # pred unpatchify / norm-pix transpose-back / pixel mask upsample.
+    # Numerically identical (tests/test_losses_patch.py); False = the
+    # pixel-space path, kept for ablation timing
+    patch_space_losses: bool = True
     use_ema: bool = False  # model EMA (reference model_ema.py, unwired there)
     ema_decay: float = 0.9999
     # mesh axes: data parallel is the reference's only parallelism (SURVEY §2.4)

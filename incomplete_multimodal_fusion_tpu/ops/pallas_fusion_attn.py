@@ -214,7 +214,14 @@ def fusion_row_attention_auto(q, kv_grid, kv_f, heads, dh):
 
 def fusion_row_supported(f: int, t_mod: int, inner: int) -> bool:
     """Per-program working set: q/kv_f/kv_grid slabs + a few [F, dh] f32
-    temporaries per unrolled slot; all lane slices are static dh-multiples."""
+    temporaries per unrolled slot; all lane slices are static dh-multiples.
+
+    IMF_DISABLE_FUSION_ROW=1 forces the XLA fallback — ablation-timing knob
+    only (tools/bench_ablate.py runs one process per variant)."""
+    import os
+
+    if os.environ.get("IMF_DISABLE_FUSION_ROW"):
+        return False
     return (
         f % 8 == 0
         and inner % 8 == 0

@@ -111,7 +111,8 @@ def make_loss_fn(model: MultiMAE, cfg: PretrainConfig):
         for d in out_domains:
             spec = modreg.get(d)
             mask = None if cfg.train.loss_on_unmasked else mask_info.task_masks[d]
-            if preds_patch is not None and spec.loss in PATCH_LOSS_FNS:
+            if (preds_patch is not None and spec.loss in PATCH_LOSS_FNS
+                    and getattr(cfg.train, "patch_space_losses", True)):
                 # patch-layout fast path: no pred unpatchify, no norm-pix
                 # transpose-back, no pixel mask upsample (losses/masked.py)
                 task_losses[d] = PATCH_LOSS_FNS[spec.loss](

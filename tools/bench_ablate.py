@@ -3,6 +3,9 @@ the axon tunnel serializes JAX clients).
 
 Usage: python tools/bench_ablate.py <variant>
 variants: full_pallas | full_xla | zorro_pallas | fwd_only | fwd_only_xla
+        | no_fused_adamw | no_patch_losses | no_fusion_row
+(the no_* variants time full_pallas with exactly one round-3 optimization
+disabled, so each queued change can be accepted/reverted on its own number)
 """
 import os
 import sys
@@ -25,6 +28,10 @@ def main(variant: str):
     from incomplete_multimodal_fusion_tpu.ops import masking
     from incomplete_multimodal_fusion_tpu.train import pretrain
 
+    from incomplete_multimodal_fusion_tpu.config import OptimConfig, TrainConfig
+
+    if variant == "no_fusion_row":
+        os.environ["IMF_DISABLE_FUSION_ROW"] = "1"
     attn = "xla" if variant in ("full_xla", "fwd_only_xla") else "pallas"
     fusion = "zorro" if variant == "zorro_pallas" else "crossattn"
     cfg = PretrainConfig(
@@ -33,6 +40,8 @@ def main(variant: str):
                         in_domains=("s1", "s2"), out_domains=("s1", "s2"),
                         batch_size=60),
         mask=MaskConfig(num_encoded_tokens=384),
+        optim=OptimConfig(fused_adamw=(variant != "no_fused_adamw")),
+        train=TrainConfig(patch_space_losses=(variant != "no_patch_losses")),
     )
     b = cfg.data.batch_size
     model, state, tx = pretrain.create_train_state(cfg, jax.random.PRNGKey(0), 1000)
