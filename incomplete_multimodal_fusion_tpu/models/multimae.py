@@ -43,6 +43,7 @@ from ..ops.attention import (
 )
 from ..ops.pallas_attn import PAD_TYPE, resolve_attn_mode
 from ..ops.masking import MaskInfo
+from ..parallel.sp import sp_shard
 from ..ops.posemb import build_2d_sincos_posemb
 from ..ops.patches import unpatchify
 from .adapters import PatchedInputAdapter, SemSegInputAdapter, SpatialOutputAdapter
@@ -451,6 +452,9 @@ class MultiMAE(nn.Module):
                 use_pallas=use_pallas,
                 deterministic=deterministic,
             )
+            # sequence parallelism (no-op outside a parallel.sp context):
+            # the residual stream re-shards [B, N/tp, D] between blocks
+            tokens = sp_shard(tokens)
 
         tokens = self.norm(tokens)
 

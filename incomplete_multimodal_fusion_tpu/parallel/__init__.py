@@ -1,3 +1,3 @@
-from . import mesh, sharding
+from . import mesh, sharding, sp
 
-__all__ = ["mesh", "sharding"]
+__all__ = ["mesh", "sharding", "sp"]

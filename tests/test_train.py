@@ -165,6 +165,51 @@ class TestDataParallel:
         s2, m = jax.jit(step_fn)(state_s, sharded_batch)
         assert np.isfinite(float(m["loss"]))
 
+    @pytest.mark.slow
+    def test_sequence_parallel_matches_single_device(self):
+        """SP (parallel/sp.py): sequence-sharding the residual stream over
+        the model axis between encoder blocks is a layout annotation, so
+        TP+SP numerics must equal the plain single-device step. Tokens
+        e+f = 24+16 = 40 divide tp=4 exactly."""
+        from incomplete_multimodal_fusion_tpu.parallel import sp as sp_lib
+
+        cfg = tiny_cfg()
+        model, state, tx = pretrain.create_train_state(
+            cfg, jax.random.PRNGKey(11), total_steps=10)
+        step_fn = pretrain.make_train_step(model, cfg, tx)
+        batch = {k: jnp.asarray(v) for k, v in synthetic_batch(
+            np.random.default_rng(11), cfg.data.in_domains, 8, 64).items()}
+
+        s1, m1 = jax.jit(step_fn)(state, batch)
+
+        mesh = mesh_lib.make_mesh((2, 4), ("data", "model"))
+        p_shard = shard_lib.params_shardings(state.params, mesh,
+                                             model_axis="model")
+        repl = shard_lib.replicated(mesh)
+        state_s = pretrain.TrainState(
+            step=jax.device_put(state.step, repl),
+            params=jax.tree.map(jax.device_put, state.params, p_shard),
+            balancer_params=state.balancer_params,
+            opt_state=jax.device_put(state.opt_state, repl),
+            rng=jax.device_put(state.rng, repl),
+        )
+        sp_step = sp_lib.wrap_step(step_fn, mesh)
+        s2, m2 = jax.jit(sp_step)(state_s, shard_lib.shard_batch(batch, mesh))
+
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                                   rtol=2e-5)
+        for a, b in zip(jax.tree.leaves(s1.params),
+                        jax.tree.leaves(s2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4)
+
+    def test_sp_shard_is_identity_without_context(self):
+        from incomplete_multimodal_fusion_tpu.parallel import sp as sp_lib
+
+        x = jnp.ones((2, 8, 4))
+        assert sp_lib.sp_shard(x) is x
+        assert not sp_lib.sp_enabled()
+
 
 class TestHybridMesh:
     def test_single_slice_falls_back_to_flat_mesh(self):
