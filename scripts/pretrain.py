@@ -53,6 +53,16 @@ def get_args():
     p.add_argument("--random_crop", action="store_true",
                    help="load rasters at 2x input size and take a shared "
                         "random crop per sample (multimodal_dfc2023.py:54-94)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel size: devices form a "
+                        "(data, model) = (n_dev/tp, tp) mesh and attention/"
+                        "MLP kernels shard on the hidden dim (SCALING.md)")
+    p.add_argument("--fsdp", action="store_true",
+                   help="ZeRO-3-style sharding of params + optimizer moments "
+                        "over the data axis (composes with --tp)")
+    p.add_argument("--sp", action="store_true",
+                   help="sequence parallelism: residual stream sharded over "
+                        "the model axis between blocks (needs --tp > 1)")
     p.add_argument("--output_dir", type=str, default=None)
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--auto_resume", action="store_true", default=True)
@@ -139,11 +149,22 @@ def main():
     from incomplete_multimodal_fusion_tpu.utils import checkpoint as ckpt_lib
     from incomplete_multimodal_fusion_tpu.utils.logging import MetricLogger
 
-    # per-replica batch: the global batch is batch_size * n_dev, always
-    # divisible by the mesh size
+    # per-replica batch: the global batch is batch_size * dp, always
+    # divisible by the mesh's data axis
     n_dev = jax.device_count()
-    mesh = mesh_lib.make_mesh((n_dev,), ("data",), devices=jax.devices()[:n_dev])
-    global_batch = cfg.data.batch_size * n_dev
+    tp = max(args.tp, 1)
+    if n_dev % tp:
+        raise SystemExit(f"--tp {tp} does not divide {n_dev} devices")
+    if args.sp and tp == 1:
+        raise SystemExit("--sp needs --tp > 1 (nothing to shard tokens over)")
+    dp = n_dev // tp
+    if tp > 1:
+        mesh = mesh_lib.make_mesh((dp, tp), ("data", "model"),
+                                  devices=jax.devices()[:n_dev])
+    else:
+        mesh = mesh_lib.make_mesh((n_dev,), ("data",),
+                                  devices=jax.devices()[:n_dev])
+    global_batch = cfg.data.batch_size * dp
     steps_per_epoch = args.steps_per_epoch
     total_steps = steps_per_epoch * cfg.train.epochs
 
@@ -177,8 +198,38 @@ def main():
             cfg.train.seed, cfg.data.in_domains, global_batch, cfg.data.input_size
         )
 
-    step_fn = jax.jit(pretrain.make_train_step(model, cfg, tx), donate_argnums=0)
-    state = jax.device_put(state, shard_lib.replicated(mesh))
+    raw_step = pretrain.make_train_step(model, cfg, tx)
+    if args.sp:
+        from incomplete_multimodal_fusion_tpu.parallel import sp as sp_lib
+
+        raw_step = sp_lib.wrap_step(raw_step, mesh)
+    step_fn = jax.jit(raw_step, donate_argnums=0)
+
+    model_axis = "model" if tp > 1 else None
+    repl = shard_lib.replicated(mesh)
+    if args.fsdp:
+        p_shard = shard_lib.fsdp_shardings(state.params, mesh,
+                                           model_axis=model_axis)
+        o_shard = shard_lib.fsdp_shardings(state.opt_state, mesh,
+                                           model_axis=model_axis)
+    elif model_axis:
+        p_shard = shard_lib.params_shardings(state.params, mesh,
+                                             model_axis=model_axis)
+        o_shard = shard_lib.params_shardings(state.opt_state, mesh,
+                                             model_axis=model_axis)
+    else:
+        p_shard = o_shard = None
+    if p_shard is None:
+        state = jax.device_put(state, repl)
+    else:
+        state = pretrain.TrainState(
+            step=jax.device_put(state.step, repl),
+            params=jax.tree.map(jax.device_put, state.params, p_shard),
+            balancer_params=jax.device_put(state.balancer_params, repl),
+            opt_state=jax.tree.map(jax.device_put, state.opt_state, o_shard),
+            rng=jax.device_put(state.rng, repl),
+        )
+        print(f"mesh=({dp}x{tp}) tp={tp} fsdp={args.fsdp} sp={args.sp}")
 
     logger = MetricLogger()
     wandb_logger = None
