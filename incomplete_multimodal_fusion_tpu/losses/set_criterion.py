@@ -243,7 +243,7 @@ def hungarian_match(cost: jnp.ndarray, exact: bool = True,
     )
 
 
-def match_outputs_to_targets(
+def match_costs(
     pred_logits: jnp.ndarray,  # [B, Q, K+1]
     pred_masks: jnp.ndarray,  # [B, Q, H, W]
     targets: SegTargets,
@@ -252,10 +252,12 @@ def match_outputs_to_targets(
     cost_class: float = 1.0,
     cost_mask: float = 1.0,
     cost_dice: float = 1.0,
-    exact: bool = True,
-    match_mode: Optional[str] = None,
 ) -> jnp.ndarray:
-    """HungarianMatcher.memory_efficient_forward (matcher_ins.py:95-153)."""
+    """Matching cost matrix [B, Q, G] (matcher_ins.py:95-146), padded target
+    columns at a constant PAD_COST. Separated from the assignment so a host
+    process can run scipy on fetched costs (the ``exact_host`` split step —
+    the reference's own structure: GPU costs, `.cpu()` + scipy,
+    matcher_ins.py:147-156)."""
     b, q = pred_logits.shape[:2]
     g = targets.labels.shape[1]
     prob = jax.nn.softmax(pred_logits, axis=-1)
@@ -278,7 +280,34 @@ def match_outputs_to_targets(
     c_mask, c_dice = jax.vmap(per_sample)(pred_masks, targets.masks, coords)
     cost = cost_class * c_class + cost_mask * c_mask + cost_dice * c_dice
     cost = jnp.where(targets.valid[:, None, :], cost, PAD_COST)
-    cost = jax.lax.stop_gradient(cost)
+    return jax.lax.stop_gradient(cost)
+
+
+def scipy_assign_host(cost: np.ndarray) -> np.ndarray:
+    """Host-side exact assignment on a fetched cost array [..., B, Q, G] ->
+    [..., B, G] (any leading level dims). The out-of-jit half of the
+    ``exact_host`` path for backends without host-callback support."""
+    lead = cost.shape[:-3]
+    flat = cost.reshape((-1,) + cost.shape[-3:])
+    out = np.stack([_scipy_assign(c) for c in flat])
+    return out.reshape(lead + out.shape[1:])
+
+
+def match_outputs_to_targets(
+    pred_logits: jnp.ndarray,  # [B, Q, K+1]
+    pred_masks: jnp.ndarray,  # [B, Q, H, W]
+    targets: SegTargets,
+    key: jax.Array,
+    num_points: int,
+    cost_class: float = 1.0,
+    cost_mask: float = 1.0,
+    cost_dice: float = 1.0,
+    exact: bool = True,
+    match_mode: Optional[str] = None,
+) -> jnp.ndarray:
+    """HungarianMatcher.memory_efficient_forward (matcher_ins.py:95-153)."""
+    cost = match_costs(pred_logits, pred_masks, targets, key, num_points,
+                       cost_class, cost_mask, cost_dice)
     return hungarian_match(cost, exact=exact, mode=match_mode)
 
 
@@ -385,20 +414,30 @@ def set_criterion(
     dense_masks: bool = False,
     exact_match: bool = True,
     match_mode: Optional[str] = None,  # 'exact' | 'auction' | 'greedy'
+    matched_override: Optional[jnp.ndarray] = None,  # [L, B, G]
 ) -> Dict[str, jnp.ndarray]:
-    """Full criterion incl. aux levels (criterion_ins.py:224-278)."""
+    """Full criterion incl. aux levels (criterion_ins.py:224-278).
+
+    ``matched_override`` skips the in-graph matcher and uses precomputed
+    per-level assignments (level order: final, aux 0, aux 1, ...) — the
+    second half of the ``exact_host`` split step (see ``set_criterion_costs``
+    for the first half and the key-sequence contract).
+    """
     num_masks = jnp.maximum(jnp.sum(targets.valid.astype(jnp.float32)), 1.0)
     losses = {}
     levels = [(None, outputs)] + [
         (i, aux) for i, aux in enumerate(outputs.get("aux_outputs", []))
     ]
-    for tag, out in levels:
+    for li, (tag, out) in enumerate(levels):
         key, k_match, k_pts = jax.random.split(key, 3)
-        matched = match_outputs_to_targets(
-            out["pred_logits"], out["pred_masks"], targets, k_match,
-            num_points, cost_class, cost_mask, cost_dice, exact=exact_match,
-            match_mode=match_mode,
-        )
+        if matched_override is not None:
+            matched = matched_override[li]
+        else:
+            matched = match_outputs_to_targets(
+                out["pred_logits"], out["pred_masks"], targets, k_match,
+                num_points, cost_class, cost_mask, cost_dice,
+                exact=exact_match, match_mode=match_mode,
+            )
         l = criterion_losses(
             out["pred_logits"], out["pred_masks"], targets, matched, k_pts,
             num_classes, num_masks, eos_coef, num_points, oversample_ratio,
@@ -407,6 +446,30 @@ def set_criterion(
         suffix = "" if tag is None else f"_{tag}"
         losses.update({k + suffix: v for k, v in l.items()})
     return losses
+
+
+def set_criterion_costs(
+    outputs: Dict,
+    targets: SegTargets,
+    key: jax.Array,
+    num_points: int = 12544,
+    cost_class: float = 1.0,
+    cost_mask: float = 1.0,
+    cost_dice: float = 1.0,
+) -> jnp.ndarray:
+    """Per-level matching costs [L, B, Q, G] with EXACTLY the key sequence
+    ``set_criterion`` uses (per level: key -> (key, k_match, k_pts), costs
+    consume k_match), so assignments computed on host from these costs equal
+    what the in-graph exact matcher would have produced for the same key."""
+    levels = [outputs] + list(outputs.get("aux_outputs", []))
+    costs = []
+    for out in levels:
+        key, k_match, _k_pts = jax.random.split(key, 3)
+        costs.append(match_costs(
+            out["pred_logits"], out["pred_masks"], targets, k_match,
+            num_points, cost_class, cost_mask, cost_dice,
+        ))
+    return jnp.stack(costs)
 
 
 def targets_from_semantic_labels(

@@ -172,19 +172,31 @@ def make_downstream_train_step(
     dice_weight: float = 5.0,
     mask_weight: float = 5.0,
     per_sample_masks: bool = False,  # independent keep-mask per sample
+    # Hungarian matching costs. The reference feeds the SAME weights to the
+    # matcher and the loss (maskformer_train_ins_vit.py:123-131), so these
+    # default to class/mask/dice_weight — override to decouple (e.g. pin the
+    # assignment while sweeping loss weights; the loss terms themselves are
+    # strictly linear in the weights given a fixed assignment).
+    cost_class: Optional[float] = None,
+    cost_mask: Optional[float] = None,
+    cost_dice: Optional[float] = None,
 ):
     w_ce, w_dice, w_mask = loss_weights
     dtype = jnp.dtype(compute_dtype)
     in_domains = tuple(cfg.in_domains)
     nums = (cfg.num_patches,) * len(in_domains)
     e = cfg.max_encoded_tokens
+    c_class = class_weight if cost_class is None else cost_class
+    c_mask = mask_weight if cost_mask is None else cost_mask
+    c_dice = dice_weight if cost_dice is None else cost_dice
 
     def cast(t):
         return jax.tree.map(
             lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x, t
         )
 
-    def loss_fn(params, batch, targets, mask_info, present, keys):
+    def loss_fn(params, batch, targets, mask_info, present, keys,
+                matched_override=None):
         out = model.apply(
             {"params": cast(params)}, cast(batch), mask_info=mask_info,
             num_encoded_tokens=e, present=present, deterministic=False,
@@ -195,7 +207,8 @@ def make_downstream_train_step(
             out, targets, keys[1], num_classes=cfg.num_classes,
             eos_coef=eos_coef, num_points=num_points, dense_masks=dense_masks,
             match_mode=match_mode,
-            cost_class=class_weight, cost_mask=mask_weight, cost_dice=dice_weight,
+            cost_class=c_class, cost_mask=c_mask, cost_dice=c_dice,
+            matched_override=matched_override,
         )
         # partition by exact key prefix ('loss_ce' vs 'loss_dice' vs
         # 'loss_mask' + aux suffixes) — substring tests double-count
@@ -209,7 +222,10 @@ def make_downstream_train_step(
         return total, {"loss": total, "loss_ce": l_ce, "loss_dice": l_dice,
                        "loss_mask": l_mask}
 
-    def train_step(state: DownstreamState, batch, targets: SegTargets):
+    def prologue(state: DownstreamState, batch):
+        """Shared per-step randomness: BOTH phases of the exact_host split
+        step derive the same (present, mask_info, keys) from state.rng, so
+        the cost forward and the grad forward see identical masks/dropout."""
         rng, k_sub, k_mask, k_drop, k_crit = jax.random.split(state.rng, 5)
         present = masking.sample_modality_subset(k_sub, len(in_domains))
         mask_info = masking.incomplete_random_masks(
@@ -217,15 +233,70 @@ def make_downstream_train_step(
             batch[in_domains[0]].shape[0], keep_ratio=cfg.keep_ratio,
             batch_shared=not per_sample_masks,
         )
+        return rng, present, mask_info, (k_drop, k_crit)
+
+    def train_step(state: DownstreamState, batch, targets: SegTargets,
+                   matched_override=None):
+        rng, present, mask_info, keys = prologue(state, batch)
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, targets, mask_info, present, (k_drop, k_crit)
+            state.params, batch, targets, mask_info, present, keys,
+            matched_override,
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return state.replace(step=state.step + 1, params=params,
                              opt_state=opt_state, rng=rng), metrics
 
+    def cost_step(state: DownstreamState, batch, targets: SegTargets):
+        """Phase 1 of exact_host: forward (no grad) -> per-level matching
+        costs [L, B, Q, G] for host scipy."""
+        from ..losses.set_criterion import set_criterion_costs
+
+        _, present, mask_info, keys = prologue(state, batch)
+        out = model.apply(
+            {"params": cast(state.params)}, cast(batch), mask_info=mask_info,
+            num_encoded_tokens=e, present=present, deterministic=False,
+            rngs={"dropout": keys[0]},
+        )
+        out = jax.tree.map(lambda x: x.astype(jnp.float32), out)
+        return set_criterion_costs(
+            out, targets, keys[1], num_points=num_points,
+            cost_class=c_class, cost_mask=c_mask, cost_dice=c_dice,
+        )
+
+    train_step.cost_step = cost_step
     return train_step
+
+
+def make_downstream_hostmatch_step(model, cfg, tx, **kw):
+    """Exact scipy Hungarian matching WITHOUT an in-graph host callback —
+    the split-step architecture for backends (like the axon-tunneled TPU)
+    whose runtime rejects ``jax.pure_callback``:
+
+      1. jitted cost phase: forward (no grad) -> per-level costs [L,B,Q,G]
+      2. host: scipy ``linear_sum_assignment`` per (level, sample)
+      3. jitted grad phase: the normal train step with ``matched_override``
+
+    This is structurally what the reference itself does per step — GPU cost
+    tensors, ``.cpu()`` + scipy, indices back to device (matcher_ins.py:
+    147-175) — at the price of one extra no-grad forward. RNG derivation is
+    shared (``prologue``), so masks/dropout/point-coords are identical across
+    the two phases and the result equals the in-graph ``match_mode='exact'``
+    step for the same ``state.rng``.
+    """
+    from ..losses.set_criterion import scipy_assign_host
+
+    kw.pop("match_mode", None)
+    base = make_downstream_train_step(model, cfg, tx, match_mode="exact", **kw)
+    cost_jit = jax.jit(base.cost_step)
+    grad_jit = jax.jit(base, donate_argnums=0)
+
+    def step(state: DownstreamState, batch, targets: SegTargets):
+        costs = np.asarray(jax.device_get(cost_jit(state, batch, targets)))
+        matched = jnp.asarray(scipy_assign_host(costs))
+        return grad_jit(state, batch, targets, matched)
+
+    return step
 
 
 def label_map_from_targets(targets: SegTargets) -> jnp.ndarray:

@@ -299,3 +299,41 @@ class TestDownstreamDataParallel:
             assert np.quantile(diff, 0.99) < 2e-3, (
                 f"p99 diff {np.quantile(diff, 0.99)} — broad divergence, "
                 "not isolated reduction noise")
+
+
+class TestHostMatchSplitStep:
+    """exact_host split step (train/downstream.make_downstream_hostmatch_step):
+    jitted costs -> host scipy -> jitted grad step with matched_override must
+    equal the single in-graph pure_callback 'exact' step for the same rng
+    (the axon TPU runtime rejects pure_callback, so this split IS the exact-
+    parity configuration there; reference structure matcher_ins.py:147-175)."""
+
+    @pytest.mark.slow
+    def test_hostmatch_equals_exact_callback_step(self, setup):
+        model, params, x = setup
+        targets = make_targets()
+        kw = dict(num_points=32, compute_dtype="float32")
+
+        def fresh_state():
+            tx = ds.create_downstream_optimizer(params, lr=1e-3, clip_grad=0.0)
+            return tx, ds.DownstreamState(
+                step=jnp.zeros((), jnp.int32), params=params,
+                opt_state=tx.init(params), rng=jax.random.PRNGKey(7))
+
+        tx1, s1 = fresh_state()
+        step_exact = jax.jit(ds.make_downstream_train_step(
+            model, CFG, tx1, match_mode="exact", **kw))
+        s1b, m1 = step_exact(s1, x, targets)
+
+        tx2, s2 = fresh_state()
+        step_host = ds.make_downstream_hostmatch_step(model, CFG, tx2, **kw)
+        s2b, m2 = step_host(s2, x, targets)
+
+        for k in m1:
+            np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=1e-6,
+                                       err_msg=k)
+        l1 = jax.tree.leaves(s1b.params)
+        l2 = jax.tree.leaves(s2b.params)
+        for a, b_ in zip(l1, l2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-6, atol=1e-7)
