@@ -35,8 +35,11 @@ def _try_build() -> bool:
     if _build_attempted:
         return os.path.exists(_LIB_PATH)
     _build_attempted = True
-    if os.path.exists(_LIB_PATH):
-        return True
+    src = os.path.join(_NATIVE_DIR, "raster_ops.cc")
+    if os.path.exists(_LIB_PATH) and (
+            not os.path.exists(src)
+            or os.path.getmtime(_LIB_PATH) >= os.path.getmtime(src)):
+        return True  # up to date (make semantics; stale .so lacks new symbols)
     try:
         subprocess.run(
             ["make", "-C", _NATIVE_DIR], check=True,
@@ -65,6 +68,10 @@ def load_library() -> Optional[ctypes.CDLL]:
                                         ctypes.c_float, ctypes.c_int]
     lib.standardize_batch.argtypes = [_F32P, _F32P, ctypes.c_int64,
                                       ctypes.c_int64, ctypes.c_int]
+    for fn, ptr in (("rgb_u8_hwc_normalize", ctypes.POINTER(ctypes.c_uint8)),
+                    ("rgb_u16_hwc_normalize", ctypes.POINTER(ctypes.c_uint16))):
+        if hasattr(lib, fn):  # stale .so without the fused kernels: rebuild
+            getattr(lib, fn).argtypes = [ptr, _F32P, ctypes.c_int64, _F32P, _F32P]
     _lib = lib
     return lib
 
@@ -117,6 +124,41 @@ def box_resize(x: np.ndarray, size: int, num_threads: int = 4) -> np.ndarray:
     out = np.empty((c, size, size), np.float32)
     lib.box_resize(_fp(x), _fp(out), c, h, w, size, size, num_threads)
     return out
+
+
+def rgb_hwc_normalize_into(x: np.ndarray, out: np.ndarray) -> bool:
+    """Fused raw-HWC-RGB -> normalized float32 HWC, written into ``out``
+    (a contiguous [H, W, 3] batch-buffer slot). One read + one write pass;
+    returns False when the dtype has no fused kernel (caller falls back)."""
+    lib = load_library()
+    if x.dtype == np.uint8 and hasattr(lib, "rgb_u8_hwc_normalize"):
+        fn, ptr = lib.rgb_u8_hwc_normalize, ctypes.POINTER(ctypes.c_uint8)
+    elif x.dtype == np.uint16 and hasattr(lib, "rgb_u16_hwc_normalize"):
+        fn, ptr = lib.rgb_u16_hwc_normalize, ctypes.POINTER(ctypes.c_uint16)
+    else:
+        return False
+    assert x.flags.c_contiguous and out.flags.c_contiguous
+    assert x.shape == out.shape and x.shape[-1] == 3
+    mean = _prep(RGB_MEAN)
+    std = _prep(RGB_STD)
+    fn(x.ctypes.data_as(ptr), _fp(out), x.size // 3, _fp(mean), _fp(std))
+    return True
+
+
+def sar_normalize_into(x: np.ndarray, out: np.ndarray) -> None:
+    """SAR normalize into a preallocated slot (layout-free elementwise)."""
+    lib = load_library()
+    x = _prep(x)
+    assert out.flags.c_contiguous and x.size == out.size
+    lib.sar_normalize(_fp(x), _fp(out), x.size, SAR_MEAN, SAR_STD, 1)
+
+
+def standardize_into(x: np.ndarray, out: np.ndarray) -> None:
+    """Per-image standardize into a preallocated slot."""
+    lib = load_library()
+    x = _prep(x)
+    assert out.flags.c_contiguous and x.size == out.size
+    lib.standardize(_fp(x), _fp(out), x.size, 1)
 
 
 def sar_normalize_batch(x: np.ndarray, num_threads: int = 8) -> np.ndarray:

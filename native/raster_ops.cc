@@ -179,4 +179,33 @@ void standardize_batch(const float* in, float* out, int64_t batch,
   });
 }
 
+// Fused single-pass RGB prep: raw uint8 HWC pixels (straight from the TIFF
+// strip buffer) -> normalized float32 HWC, written into a caller-provided
+// destination (the batch buffer slot). Replaces four numpy passes
+// (astype + nan_to_num + subtract + divide) with one read + one write —
+// the single-core input pipeline is memory-bound, so pass count IS the
+// throughput (multimodal_dfc2023.py:116-126 semantics).
+void rgb_u8_hwc_normalize(const unsigned char* in, float* out, int64_t npix,
+                          const float* mean, const float* std) {
+  const float m0 = mean[0], m1 = mean[1], m2 = mean[2];
+  const float i0 = 1.0f / std[0], i1 = 1.0f / std[1], i2 = 1.0f / std[2];
+  for (int64_t p = 0; p < npix; ++p) {
+    out[3 * p + 0] = (static_cast<float>(in[3 * p + 0]) - m0) * i0;
+    out[3 * p + 1] = (static_cast<float>(in[3 * p + 1]) - m1) * i1;
+    out[3 * p + 2] = (static_cast<float>(in[3 * p + 2]) - m2) * i2;
+  }
+}
+
+// uint16 variant (DFC2023 distributes some RGB tiles as uint16).
+void rgb_u16_hwc_normalize(const unsigned short* in, float* out, int64_t npix,
+                           const float* mean, const float* std) {
+  const float m0 = mean[0], m1 = mean[1], m2 = mean[2];
+  const float i0 = 1.0f / std[0], i1 = 1.0f / std[1], i2 = 1.0f / std[2];
+  for (int64_t p = 0; p < npix; ++p) {
+    out[3 * p + 0] = (static_cast<float>(in[3 * p + 0]) - m0) * i0;
+    out[3 * p + 1] = (static_cast<float>(in[3 * p + 1]) - m1) * i1;
+    out[3 * p + 2] = (static_cast<float>(in[3 * p + 2]) - m2) * i2;
+  }
+}
+
 }  // extern "C"
