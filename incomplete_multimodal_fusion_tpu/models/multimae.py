@@ -380,6 +380,7 @@ class MultiMAE(nn.Module):
         mask_info: MaskInfo,
         num_encoded_tokens: int,
         deterministic: bool = True,
+        trunk_fn=None,
     ):
         """Forward (reference multimae_crossattn.py:331-545).
 
@@ -438,23 +439,41 @@ class MultiMAE(nn.Module):
         if self.fusion_mode == "crossattn":
             onehot, use = self._grid_onehot(mask_info, e, dtype)
             mask_emb = self.mask_embedding.astype(dtype)
-        for i, blk in enumerate(self.blocks):
-            if self.fusion_mode == "crossattn":
-                fusion_new = self.fus_blocks[i](
-                    tokens[:, :e, :], tokens[:, e:, :], mask_emb, onehot, use,
+        if trunk_fn is not None and not self.is_initializing():
+            # externally supplied trunk (pipeline parallelism,
+            # parallel/pp_multimae.py): replaces the per-layer
+            # (FusionBlock, EncoderBlock) python loop with a staged,
+            # microbatched run over a 'stage' mesh axis. The layer-constant
+            # per-example context travels as replicated aux; mask_embedding
+            # is broadcast to the batch so its gradient flows through the
+            # trunk argument (the broadcast transpose sums it back).
+            assert self.fusion_mode == "crossattn", "pp trunk: crossattn only"
+            tokens = trunk_fn(tokens, {
+                "onehot": onehot,
+                "use": use,
+                "types_padded": types_padded,
+                "mask_emb": jnp.broadcast_to(
+                    mask_emb, (b,) + mask_emb.shape[1:]),
+            })
+        else:
+            for i, blk in enumerate(self.blocks):
+                if self.fusion_mode == "crossattn":
+                    fusion_new = self.fus_blocks[i](
+                        tokens[:, :e, :], tokens[:, e:, :], mask_emb, onehot,
+                        use, use_pallas=use_pallas,
+                    )
+                    tokens = jnp.concatenate(
+                        [tokens[:, :e, :], fusion_new], axis=1)
+                tokens = blk(
+                    tokens,
+                    packed_types=types_padded,
+                    fusion_type=self.fusion_type,
                     use_pallas=use_pallas,
+                    deterministic=deterministic,
                 )
-                tokens = jnp.concatenate([tokens[:, :e, :], fusion_new], axis=1)
-            tokens = blk(
-                tokens,
-                packed_types=types_padded,
-                fusion_type=self.fusion_type,
-                use_pallas=use_pallas,
-                deterministic=deterministic,
-            )
-            # sequence parallelism (no-op outside a parallel.sp context):
-            # the residual stream re-shards [B, N/tp, D] between blocks
-            tokens = sp_shard(tokens)
+                # sequence parallelism (no-op outside a parallel.sp context):
+                # the residual stream re-shards [B, N/tp, D] between blocks
+                tokens = sp_shard(tokens)
 
         tokens = self.norm(tokens)
 

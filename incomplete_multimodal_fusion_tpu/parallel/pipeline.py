@@ -47,12 +47,23 @@ def pipeline_apply(
     mesh: Mesh,
     stage_axis: str = "stage",
     microbatches: int = 0,
+    aux=None,
+    batch_axis=None,
 ):
     """Run ``x`` through S stages of ``per_stage`` blocks each, pipelined.
 
-    block_fn(params_one_block, x) -> x          (shape-preserving)
+    block_fn(params_one_block, x[, aux]) -> x   (shape-preserving)
     stage_params: pytree, leading dims [S, per_stage, ...]
     x: [B, ...] global batch, B divisible by ``microbatches`` (default S)
+    aux: optional pytree of [B, ...] arrays of layer-constant per-example
+        context (e.g. attention masks / one-hot scatter grids). Replicated
+        to every stage — NOT shipped over ICI with the activations — and
+        indexed per tick so stage s sees the aux rows of the microbatch it
+        is currently processing (microbatch t - s at tick t).
+    batch_axis: optional second mesh axis name (e.g. 'data') to shard each
+        microbatch's rows over — DP x PP composition: params replicated
+        over it, activations/aux split, so every (data, stage) device
+        computes its own batch slice of its own stage.
     Returns [B, ...], bit-identical to applying all S*per_stage blocks
     sequentially.
     """
@@ -68,23 +79,34 @@ def pipeline_apply(
         raise ValueError(f"batch {b} does not divide {m} microbatches")
     mb = b // m
     x_mb = x.reshape((m, mb) + x.shape[1:])
+    aux_mb = jax.tree.map(lambda a: a.reshape((m, mb) + a.shape[1:]), aux)
     perm = [(i, (i + 1) % s) for i in range(s)]
 
-    def stage_fn(params, y):
+    def stage_fn(params, y, aux_t):
         # params: [per_stage, ...] for THIS stage only (shard_map slice)
         def body(carry, block_params):
-            return block_fn(block_params, carry), None
+            out = (block_fn(block_params, carry) if aux is None
+                   else block_fn(block_params, carry, aux_t))
+            return out, None
 
         out, _ = jax.lax.scan(body, y, params)
         return out
 
-    @partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(P(stage_axis), P()),
-        out_specs=P(),
-    )
-    def run(params, x_all):
+    # vma (varying-mesh-axes) checking is off: the stage body may lower
+    # Pallas kernels (whose out_shapes carry no vma annotation), and the
+    # tick recurrence makes everything stage-varying anyway
+    import inspect
+
+    flag = ("check_vma" if "check_vma" in inspect.signature(shard_map).parameters
+            else "check_rep")  # older jax spelling
+    # activations/aux: [m, mb, ...] — microbatch dim replicated over stages,
+    # rows optionally split over the batch axis (DP x PP)
+    xspec = P(None, batch_axis) if batch_axis else P()
+    smap = partial(shard_map, mesh=mesh, in_specs=(P(stage_axis), xspec, xspec),
+                   out_specs=xspec, **{flag: False})
+
+    @smap
+    def run(params, x_all, aux_all):
         params = jax.tree.map(lambda p: p[0], params)  # drop sharded dim 1
         stage = jax.lax.axis_index(stage_axis)
 
@@ -105,7 +127,12 @@ def pipeline_apply(
             # stage 0 injects microbatch t while t < m; later ticks recirculate
             feed = x_all[jnp.minimum(t, m - 1)]
             inp = jnp.where((stage == 0) & (t < m), feed, state)
-            out = stage_fn(params, inp)
+            # stage s processes microbatch t - s at tick t (clipped rows are
+            # pipeline-bubble garbage whose outputs are never stored)
+            aux_t = jax.tree.map(
+                lambda a: a[jnp.clip(t - stage, 0, m - 1)], aux_all
+            )
+            out = stage_fn(params, inp, aux_t)
             # the last stage owns microbatch t-(s-1) at tick t
             done = t - (s - 1)
             ys = jnp.where(
@@ -127,5 +154,5 @@ def pipeline_apply(
         )
         return ys
 
-    ys = run(stage_params, x_mb)
+    ys = run(stage_params, x_mb, aux_mb)
     return ys.reshape((b,) + x.shape[1:])

@@ -81,7 +81,8 @@ def dummy_batch(cfg: PretrainConfig, batch_size: int) -> Dict[str, jnp.ndarray]:
     return out
 
 
-def make_loss_fn(model: MultiMAE, cfg: PretrainConfig):
+def make_loss_fn(model: MultiMAE, cfg: PretrainConfig, pp_mesh=None,
+                 pp_microbatches: int = 0):
     in_domains = tuple(cfg.data.in_domains)
     out_domains = tuple(cfg.data.out_domains)
     e = cfg.mask.num_encoded_tokens
@@ -98,6 +99,15 @@ def make_loss_fn(model: MultiMAE, cfg: PretrainConfig):
                 if jnp.issubdtype(batch[d].dtype, jnp.floating) else batch[d])
             for d in in_domains
         }
+        trunk_fn = None
+        if pp_mesh is not None:
+            # pipeline-parallel trunk over the stage axis: built from the
+            # SAME cast params being differentiated, so grads flow through
+            # the stage stacking (parallel/pp_multimae.py)
+            from ..parallel.pp_multimae import make_pp_trunk
+
+            trunk_fn = make_pp_trunk(
+                model, cast_params, pp_mesh, microbatches=pp_microbatches)
         out = model.apply(
             {"params": cast_params},
             cast_batch,
@@ -105,6 +115,7 @@ def make_loss_fn(model: MultiMAE, cfg: PretrainConfig):
             e,
             deterministic=False,
             rngs={"dropout": dropout_rng},
+            trunk_fn=trunk_fn,
         )
         task_losses = {}
         preds_patch = out.get("preds_patch")
@@ -140,8 +151,10 @@ def make_loss_fn(model: MultiMAE, cfg: PretrainConfig):
     return loss_fn
 
 
-def make_train_step(model: MultiMAE, cfg: PretrainConfig, tx):
-    loss_fn = make_loss_fn(model, cfg)
+def make_train_step(model: MultiMAE, cfg: PretrainConfig, tx, pp_mesh=None,
+                    pp_microbatches: int = 0):
+    loss_fn = make_loss_fn(model, cfg, pp_mesh=pp_mesh,
+                           pp_microbatches=pp_microbatches)
     in_domains = tuple(cfg.data.in_domains)
     nums = tuple(cfg.data.num_patches for _ in in_domains)
     e = cfg.mask.num_encoded_tokens

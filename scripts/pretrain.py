@@ -63,6 +63,14 @@ def get_args():
     p.add_argument("--sp", action="store_true",
                    help="sequence parallelism: residual stream sharded over "
                         "the model axis between blocks (needs --tp > 1)")
+    p.add_argument("--pp", type=int, default=1,
+                   help="pipeline-parallel stages: devices form a "
+                        "(data, stage) = (n_dev/pp, pp) mesh and the "
+                        "(FusionBlock, EncoderBlock) layer pairs run "
+                        "GPipe-microbatched (parallel/pp_multimae.py; "
+                        "model depth must divide pp; excludes --tp/--sp)")
+    p.add_argument("--pp_microbatches", type=int, default=0,
+                   help="GPipe microbatch count (default: = --pp)")
     p.add_argument("--output_dir", type=str, default=None)
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--auto_resume", action="store_true", default=True)
@@ -157,8 +165,16 @@ def main():
         raise SystemExit(f"--tp {tp} does not divide {n_dev} devices")
     if args.sp and tp == 1:
         raise SystemExit("--sp needs --tp > 1 (nothing to shard tokens over)")
-    dp = n_dev // tp
-    if tp > 1:
+    pp = max(args.pp, 1)
+    if pp > 1 and (tp > 1 or args.sp):
+        raise SystemExit("--pp excludes --tp/--sp (PP composes with DP only)")
+    if pp > 1 and n_dev % pp:
+        raise SystemExit(f"--pp {pp} does not divide {n_dev} devices")
+    dp = n_dev // (tp * pp)
+    if pp > 1:
+        mesh = mesh_lib.make_mesh((dp, pp), ("data", "stage"),
+                                  devices=jax.devices()[:n_dev])
+    elif tp > 1:
         mesh = mesh_lib.make_mesh((dp, tp), ("data", "model"),
                                   devices=jax.devices()[:n_dev])
     else:
@@ -198,7 +214,11 @@ def main():
             cfg.train.seed, cfg.data.in_domains, global_batch, cfg.data.input_size
         )
 
-    raw_step = pretrain.make_train_step(model, cfg, tx)
+    raw_step = pretrain.make_train_step(
+        model, cfg, tx,
+        pp_mesh=mesh if pp > 1 else None,
+        pp_microbatches=args.pp_microbatches,
+    )
     if args.sp:
         from incomplete_multimodal_fusion_tpu.parallel import sp as sp_lib
 
