@@ -32,6 +32,11 @@ class ModelConfig:
     # 'sup'       = supervised baseline, no fusion stream (multimae_sup.py)
     fusion_mode: str = "crossattn"
     attn_impl: str = "auto"  # 'auto' | 'pallas' | 'xla'
+    # fusion-block KV-grid assembly: 'onehot' (all-matmul, default) |
+    # 'gather' (gather-fwd / matmul-bwd custom VJP, ops/assemble.py).
+    # Bit-identical numerics; gather measured SLOWER on v5e-1 (62.6 vs
+    # 58.5 ms/step — see ops/assemble.py), kept for ablation
+    kv_assembly: str = "onehot"
 
 
 @dataclass(frozen=True)

@@ -423,12 +423,16 @@ class FusionBlockFast(nn.Module):
 
     @nn.compact
     def __call__(self, packed, fusion, mask_emb, onehot, use, plane_valid=None,
-                 use_pallas=False):
+                 use_pallas=False, slot=None):
         """packed [B,E,D]; fusion [B,F,D]; mask_emb [1,F,D];
-        onehot [B,T*F,E]; use [B,T*F] bool; plane_valid [T+1] bool or None."""
+        onehot [B,T*F,E] (or None when ``slot`` drives the gather path);
+        use [B,T*F] bool; plane_valid [T+1] bool or None; slot [B,T*F] int
+        (mask_info.ids_restore) — when given, the KV grid is assembled by
+        the asymmetric gather-fwd/matmul-bwd op (ops/assemble.py) instead
+        of the one-hot matmul; bit-identical both directions."""
         b, e, d_model = packed.shape
         f = fusion.shape[1]
-        t = onehot.shape[1] // f
+        t = (onehot if slot is None else slot).shape[1] // f
         h, dh = self.heads, self.dim_head
         inner = h * dh
 
@@ -449,9 +453,15 @@ class FusionBlockFast(nn.Module):
         kv_m = to_kv(h_mask)  # [1, F, 2i]
         kv_f = to_kv(h_fus)  # [B, F, 2i]
 
-        kv_grid = jnp.einsum(
-            "bge,bec->bgc", onehot, kv_p, preferred_element_type=jnp.float32
-        ).astype(packed.dtype)
+        if slot is not None:
+            from ..ops.assemble import grid_assemble
+
+            kv_grid = grid_assemble(kv_p, slot, use)
+        else:
+            kv_grid = jnp.einsum(
+                "bge,bec->bgc", onehot, kv_p,
+                preferred_element_type=jnp.float32
+            ).astype(packed.dtype)
         kv_grid = kv_grid + jnp.where(
             use[..., None], 0, jnp.tile(kv_m, (1, t, 1))
         )  # [B, T*F, 2i]

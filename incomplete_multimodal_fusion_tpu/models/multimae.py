@@ -92,6 +92,11 @@ class MultiMAE(nn.Module):
     # separately since its width differs per task). Off by default — see
     # DecoderConfig.batch_tasks
     decoder_batch_tasks: bool = False
+    # per-layer KV-grid assembly in the fusion blocks: 'gather' = gather-fwd
+    # / matmul-bwd custom VJP (ops/assemble.py, kills ~9 GFLOP/layer of
+    # forward one-hot matmul); 'onehot' = the round-1 all-matmul path.
+    # Bit-identical numerics (tests/test_assemble.py)
+    kv_assembly: str = "onehot"
 
     @property
     def num_patches(self) -> int:
@@ -437,7 +442,13 @@ class MultiMAE(nn.Module):
         use_pallas = resolve_attn_mode(self.attn_impl, e + f)
 
         if self.fusion_mode == "crossattn":
-            onehot, use = self._grid_onehot(mask_info, e, dtype)
+            if self.kv_assembly == "gather":
+                slot = mask_info.ids_restore  # [B, T*F]
+                use = _slot_use(slot, e, mask_info.num_visible)
+                onehot = None  # never materialized; bwd rebuilds per layer
+            else:
+                onehot, use = self._grid_onehot(mask_info, e, dtype)
+                slot = None
             mask_emb = self.mask_embedding.astype(dtype)
         if trunk_fn is not None and not self.is_initializing():
             # externally supplied trunk (pipeline parallelism,
@@ -449,7 +460,8 @@ class MultiMAE(nn.Module):
             # trunk argument (the broadcast transpose sums it back).
             assert self.fusion_mode == "crossattn", "pp trunk: crossattn only"
             tokens = trunk_fn(tokens, {
-                "onehot": onehot,
+                "onehot": onehot,  # None under the gather assembly
+                "slot": slot,
                 "use": use,
                 "types_padded": types_padded,
                 "mask_emb": jnp.broadcast_to(
@@ -460,7 +472,7 @@ class MultiMAE(nn.Module):
                 if self.fusion_mode == "crossattn":
                     fusion_new = self.fus_blocks[i](
                         tokens[:, :e, :], tokens[:, e:, :], mask_emb, onehot,
-                        use, use_pallas=use_pallas,
+                        use, use_pallas=use_pallas, slot=slot,
                     )
                     tokens = jnp.concatenate(
                         [tokens[:, :e, :], fusion_new], axis=1)
@@ -662,6 +674,7 @@ def build_multimae(cfg) -> MultiMAE:
         drop_path_rate=cfg.model.drop_path_rate,
         fusion_mode=cfg.model.fusion_mode,
         attn_impl=cfg.model.attn_impl,
+        kv_assembly=getattr(cfg.model, "kv_assembly", "onehot"),
         decoder_dim=cfg.decoder.dim,
         decoder_depth=cfg.decoder.depth,
         decoder_num_heads=cfg.decoder.num_heads,

@@ -83,7 +83,7 @@ def make_pp_trunk(
                 {"params": pair["fus"]},
                 toks[:, :e, :], toks[:, e:, :],
                 a["mask_emb"], a["onehot"], a["use"],
-                use_pallas=use_pallas,
+                use_pallas=use_pallas, slot=a.get("slot"),
             )
             toks = jnp.concatenate([toks[:, :e, :], fusion_new], axis=1)
             return blk_tmpl.apply(

@@ -34,8 +34,9 @@ def main(variant: str):
         os.environ["IMF_DISABLE_FUSION_ROW"] = "1"
     attn = "xla" if variant in ("full_xla", "fwd_only_xla") else "pallas"
     fusion = "zorro" if variant == "zorro_pallas" else "crossattn"
+    kv = "onehot" if variant == "onehot_assembly" else "gather"
     cfg = PretrainConfig(
-        model=ModelConfig(fusion_mode=fusion, attn_impl=attn),
+        model=ModelConfig(fusion_mode=fusion, attn_impl=attn, kv_assembly=kv),
         data=DataConfig(input_size=256, patch_size=16,
                         in_domains=("s1", "s2"), out_domains=("s1", "s2"),
                         batch_size=60),
