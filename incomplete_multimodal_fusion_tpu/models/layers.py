@@ -200,7 +200,7 @@ class ZorroAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, context=None, attn_mask=None, packed_types=None,
-                 fusion_type=None, use_pallas=False):
+                 fusion_type=None, use_pallas=False, fusion_tail=0):
         from ..ops.attention import zorro_mask_from_padded_types
         from ..ops.pallas_attn import (
             PAD_TYPE, packed_supported, zorro_self_attention,
@@ -247,7 +247,8 @@ class ZorroAttention(nn.Module):
                 fn = (zorro_self_attention_packed_qkv_auto
                       if use_pallas == "auto"
                       else zorro_self_attention_packed_qkv)
-                out2d = fn(qkv, packed_types, self.heads, fusion_type)
+                out2d = fn(qkv, packed_types, self.heads, fusion_type,
+                           fusion_tail=fusion_tail)
             else:
                 q = to_q(x)
                 k, v = jnp.split(to_kv(x), 2, axis=-1)
@@ -310,7 +311,8 @@ class EncoderBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, attn_mask=None, packed_types=None, fusion_type=None,
-                 use_pallas=False, deterministic: bool = True):
+                 use_pallas=False, deterministic: bool = True,
+                 fusion_tail: int = 0):
         from ..ops.pallas_block_attn import (
             block_attn_supported, fused_block_attn, fused_block_attn_auto,
         )
@@ -345,7 +347,7 @@ class EncoderBlock(nn.Module):
             h = attn(
                 norm1(x), attn_mask=attn_mask,
                 packed_types=packed_types, fusion_type=fusion_type,
-                use_pallas=use_pallas,
+                use_pallas=use_pallas, fusion_tail=fusion_tail,
             )
             x = x + DropPath(self.drop_path, name="dp1")(h, deterministic)
         h = GEGLUFeedForward(mult=self.ff_mult, name="mlp")(

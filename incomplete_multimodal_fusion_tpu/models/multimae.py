@@ -482,6 +482,7 @@ class MultiMAE(nn.Module):
                     fusion_type=self.fusion_type,
                     use_pallas=use_pallas,
                     deterministic=deterministic,
+                    fusion_tail=0,  # split kernel measured slower (see pallas_attn)
                 )
                 # sequence parallelism (no-op outside a parallel.sp context):
                 # the residual stream re-shards [B, N/tp, D] between blocks
@@ -559,7 +560,8 @@ def _multimae_forward_lstm(self, packed, fusion_full, mask_info, e, deterministi
 
     for blk in self.blocks:
         tokens = blk(tokens, packed_types=types_padded, fusion_type=self.fusion_type,
-                     use_pallas=use_pallas, deterministic=deterministic)
+                     use_pallas=use_pallas, deterministic=deterministic,
+                     fusion_tail=0)
     tokens = self.norm(tokens)
 
     ret = self._pool_returns(tokens, types, valid, b, dtype)
@@ -621,7 +623,7 @@ def _multimae_forward_crossattn_v1(self, packed, fusion_full, mask_info,
         tokens = jnp.concatenate([cur, fus], axis=1)
         tokens = blk(tokens, packed_types=types_padded,
                      fusion_type=self.fusion_type, use_pallas=use_pallas,
-                     deterministic=deterministic)
+                     deterministic=deterministic, fusion_tail=0)
     tokens = self.norm(tokens)
 
     ret = self._pool_returns(tokens, types, valid, b, dtype)

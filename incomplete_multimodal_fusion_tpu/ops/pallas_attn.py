@@ -393,88 +393,224 @@ def _bwd_kernel_packed(types_ref, q_ref, k_ref, v_ref, o_ref, do_ref,
 
 
 def _fwd_kernel_packed_qkv(types_ref, qkv_ref, o_ref, *, scale, fusion_type,
-                           heads, dh):
+                           heads, dh, nb=1, split=0):
     """Packed kernel over the FUSED [N, 3I] qkv slab: q/k/v are static lane
     slices of one operand, so XLA never materializes split copies of the
     projection output just to feed the custom call (round-3 profile:
-    ~0.4 ms/step of [B, N, I] copies at the flagship shape)."""
-    t = types_ref[0, 0]
-    allowed = _allowed(t, fusion_type)
+    ~0.4 ms/step of [B, N, I] copies at the flagship shape).
+
+    ``nb`` batch rows per program (measured neutral at the flagship shape —
+    the kernel is compute-bound, not program-overhead-bound — kept for the
+    VMEM-budget dispatch).
+
+    ``split`` > 0 exploits the packed layout's STATIC block structure: the
+    last ``split`` rows are the fusion stream and everything before it is
+    modality/pad tokens (models/multimae.py packing invariant). The zorro
+    rule (multimae_crossattn.py:431-447) then factors exactly:
+      * modality queries never attend the fusion tail (different type), so
+        their sim block is [n-split, n-split], not [n-split, n];
+      * fusion queries attend every non-PAD key — a row-constant mask.
+    Cuts sim/softmax/PV FLOPs ~25% at the flagship (640 -> 384^2 + 256*640)
+    with identical valid outputs and grads
+    (tests/test_pallas_attn.py::TestSplitStructuredKernel).
+
+    MEASURED AND REJECTED as the default (v5e-1, flagship shape, same
+    process interleaved, 3 reps): fwd 1.82 -> 2.20 ms, fwd+bwd 2.79 ->
+    3.66 ms — the whole-slab kernel is pipeline-bound, not FLOP-bound, and
+    splitting one [640, 640] chain into two odd-shaped chains (plus the
+    full [n, n] type compare the slicing needs — Mosaic cannot transpose a
+    sliced vector) costs more than the 25% FLOP saving. Kept behind
+    ``fusion_tail`` for shapes with a larger fusion share."""
     inner = heads * dh
-    for h in range(heads):
-        q = qkv_ref[0, :, h * dh:(h + 1) * dh]
-        k = qkv_ref[0, :, inner + h * dh:inner + (h + 1) * dh]
-        v = qkv_ref[0, :, 2 * inner + h * dh:2 * inner + (h + 1) * dh]
-        sim = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        sim = jnp.where(allowed, sim, NEG_INF)
-        p = jax.nn.softmax(sim, axis=-1)
-        o_ref[0, :, h * dh:(h + 1) * dh] = jnp.dot(
-            p.astype(v.dtype), v, preferred_element_type=jnp.float32
-        ).astype(o_ref.dtype)
+    for j in range(nb):
+        t = types_ref[j, 0]
+        e2 = None
+        if split:
+            e2 = t.shape[0] - split
+            # Mosaic cannot lower a sliced-vector transpose (t[:e2, None]
+            # -> "Only 2D gather"); build the full 2D compare and slice it
+            same = t[:, None] == t[None, :]
+            allowed_m = same[:e2, :e2]
+            fus_keys = (t != PAD_TYPE)[None, :]
+        else:
+            allowed = _allowed(t, fusion_type)
+        for h in range(heads):
+            q = qkv_ref[j, :, h * dh:(h + 1) * dh]
+            k = qkv_ref[j, :, inner + h * dh:inner + (h + 1) * dh]
+            v = qkv_ref[j, :, 2 * inner + h * dh:2 * inner + (h + 1) * dh]
+            if split:
+                sim_m = jax.lax.dot_general(
+                    q[:e2], k[:e2], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                sim_m = jnp.where(allowed_m, sim_m, NEG_INF)
+                p_m = jax.nn.softmax(sim_m, axis=-1)
+                o_ref[j, :e2, h * dh:(h + 1) * dh] = jnp.dot(
+                    p_m.astype(v.dtype), v[:e2],
+                    preferred_element_type=jnp.float32).astype(o_ref.dtype)
+                sim_f = jax.lax.dot_general(
+                    q[e2:], k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                sim_f = jnp.where(fus_keys, sim_f, NEG_INF)
+                p_f = jax.nn.softmax(sim_f, axis=-1)
+                o_ref[j, e2:, h * dh:(h + 1) * dh] = jnp.dot(
+                    p_f.astype(v.dtype), v,
+                    preferred_element_type=jnp.float32).astype(o_ref.dtype)
+                continue
+            sim = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32
+            ) * scale
+            sim = jnp.where(allowed, sim, NEG_INF)
+            p = jax.nn.softmax(sim, axis=-1)
+            o_ref[j, :, h * dh:(h + 1) * dh] = jnp.dot(
+                p.astype(v.dtype), v, preferred_element_type=jnp.float32
+            ).astype(o_ref.dtype)
 
 
 def _bwd_kernel_packed_qkv(types_ref, qkv_ref, o_ref, do_ref, dqkv_ref, *,
-                           scale, fusion_type, heads, dh):
-    t = types_ref[0, 0]
-    allowed = _allowed(t, fusion_type)
+                           scale, fusion_type, heads, dh, nb=1, split=0):
     inner = heads * dh
-    for h in range(heads):
-        sl = slice(h * dh, (h + 1) * dh)
-        q = qkv_ref[0, :, h * dh:(h + 1) * dh]
-        k = qkv_ref[0, :, inner + h * dh:inner + (h + 1) * dh]
-        v = qkv_ref[0, :, 2 * inner + h * dh:2 * inner + (h + 1) * dh]
-        o = o_ref[0, :, sl].astype(jnp.float32)
-        do = do_ref[0, :, sl].astype(jnp.float32)
-        sim = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        sim = jnp.where(allowed, sim, NEG_INF)
-        p = jnp.exp(sim - jnp.max(sim, axis=-1, keepdims=True))
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        pb = p.astype(v.dtype)
-        dob = do_ref[0, :, sl]
-        dqkv_ref[0, :, 2 * inner + h * dh:2 * inner + (h + 1) * dh] = (
-            jax.lax.dot_general(
-                pb, dob, (((0,), (0,)), ((), ())),
+    for j in range(nb):
+        t = types_ref[j, 0]
+        if split:
+            e2 = t.shape[0] - split
+            # Mosaic cannot lower a sliced-vector transpose (t[:e2, None]
+            # -> "Only 2D gather"); build the full 2D compare and slice it
+            same = t[:, None] == t[None, :]
+            allowed_m = same[:e2, :e2]
+            fus_keys = (t != PAD_TYPE)[None, :]
+        else:
+            allowed = _allowed(t, fusion_type)
+        for h in range(heads):
+            sl = slice(h * dh, (h + 1) * dh)
+            q = qkv_ref[j, :, h * dh:(h + 1) * dh]
+            k = qkv_ref[j, :, inner + h * dh:inner + (h + 1) * dh]
+            v = qkv_ref[j, :, 2 * inner + h * dh:2 * inner + (h + 1) * dh]
+            o = o_ref[j, :, sl].astype(jnp.float32)
+            do = do_ref[j, :, sl].astype(jnp.float32)
+            dob = do_ref[j, :, sl]
+            d = jnp.sum(do * o, axis=-1, keepdims=True)
+            if split:
+                # modality block: queries+keys [0, e2)
+                sim_m = jax.lax.dot_general(
+                    q[:e2], k[:e2], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                sim_m = jnp.where(allowed_m, sim_m, NEG_INF)
+                p_m = jnp.exp(sim_m - jnp.max(sim_m, axis=-1, keepdims=True))
+                p_m = p_m / jnp.sum(p_m, axis=-1, keepdims=True)
+                pb_m = p_m.astype(v.dtype)
+                dv_m = jax.lax.dot_general(
+                    pb_m, dob[:e2], (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dp_m = jax.lax.dot_general(
+                    dob[:e2], v[:e2], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                ds_m = (p_m * (dp_m - d[:e2])).astype(q.dtype)
+                # fusion rows: queries [e2, n), all keys
+                sim_f = jax.lax.dot_general(
+                    q[e2:], k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                sim_f = jnp.where(fus_keys, sim_f, NEG_INF)
+                p_f = jnp.exp(sim_f - jnp.max(sim_f, axis=-1, keepdims=True))
+                p_f = p_f / jnp.sum(p_f, axis=-1, keepdims=True)
+                pb_f = p_f.astype(v.dtype)
+                dv_f = jax.lax.dot_general(
+                    pb_f, dob[e2:], (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # [n, dh]
+                dp_f = jax.lax.dot_general(
+                    dob[e2:], v, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                ds_f = (p_f * (dp_f - d[e2:])).astype(q.dtype)
+                dk_f = jax.lax.dot_general(
+                    ds_f, q[e2:], (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale  # [n, dh]
+                dk_m = jax.lax.dot_general(
+                    ds_m, q[:e2], (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale  # [e2, dh]
+                koff, voff = inner + h * dh, 2 * inner + h * dh
+                dqkv_ref[j, :e2, voff:voff + dh] = (
+                    dv_f[:e2] + dv_m).astype(dqkv_ref.dtype)
+                dqkv_ref[j, e2:, voff:voff + dh] = dv_f[e2:].astype(
+                    dqkv_ref.dtype)
+                dqkv_ref[j, :e2, koff:koff + dh] = (
+                    dk_f[:e2] + dk_m).astype(dqkv_ref.dtype)
+                dqkv_ref[j, e2:, koff:koff + dh] = dk_f[e2:].astype(
+                    dqkv_ref.dtype)
+                dqkv_ref[j, :e2, h * dh:(h + 1) * dh] = (jnp.dot(
+                    ds_m, k[:e2], preferred_element_type=jnp.float32
+                ) * scale).astype(dqkv_ref.dtype)
+                dqkv_ref[j, e2:, h * dh:(h + 1) * dh] = (jnp.dot(
+                    ds_f, k, preferred_element_type=jnp.float32
+                ) * scale).astype(dqkv_ref.dtype)
+                continue
+            sim = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32
+            ) * scale
+            sim = jnp.where(allowed, sim, NEG_INF)
+            p = jnp.exp(sim - jnp.max(sim, axis=-1, keepdims=True))
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            pb = p.astype(v.dtype)
+            dqkv_ref[j, :, 2 * inner + h * dh:2 * inner + (h + 1) * dh] = (
+                jax.lax.dot_general(
+                    pb, dob, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(dqkv_ref.dtype))
+            dp = jax.lax.dot_general(
+                dob, v, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ).astype(dqkv_ref.dtype))
-        dp = jax.lax.dot_general(
-            dob, v, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        d = jnp.sum(do * o, axis=-1, keepdims=True)
-        ds = (p * (dp - d)).astype(q.dtype)
-        dqkv_ref[0, :, h * dh:(h + 1) * dh] = (jnp.dot(
-            ds, k, preferred_element_type=jnp.float32
-        ) * scale).astype(dqkv_ref.dtype)
-        dqkv_ref[0, :, inner + h * dh:inner + (h + 1) * dh] = (
-            jax.lax.dot_general(
-                ds, q, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+            )
+            ds = (p * (dp - d)).astype(q.dtype)
+            dqkv_ref[j, :, h * dh:(h + 1) * dh] = (jnp.dot(
+                ds, k, preferred_element_type=jnp.float32
             ) * scale).astype(dqkv_ref.dtype)
+            dqkv_ref[j, :, inner + h * dh:inner + (h + 1) * dh] = (
+                jax.lax.dot_general(
+                    ds, q, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale).astype(dqkv_ref.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _zorro_attention_packed_qkv(qkv, types, heads, scale, fusion_type):
-    """qkv: [B, N, 3I] fused [q|k|v]; types: [B, 1, N]. Returns [B, N, I]."""
-    return _packed_qkv_fwd_impl(qkv, types, heads, scale, fusion_type)
+def _batch_block(b: int, bytes_per_row: float, budget: float = 10e6) -> int:
+    """Largest divisor of b whose blocked working set fits the VMEM budget
+    (double-buffered in/out slabs; transients counted in bytes_per_row)."""
+    import os
+
+    force = os.environ.get("IMF_ATTN_NB")  # micro-bench override
+    if force:
+        return int(force) if b % int(force) == 0 else 1
+    for nb in (8, 6, 5, 4, 3, 2):
+        if b % nb == 0 and nb * bytes_per_row <= budget:
+            return nb
+    return 1
 
 
-def _packed_qkv_fwd_impl(qkv, types, heads, scale, fusion_type):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _zorro_attention_packed_qkv(qkv, types, heads, scale, fusion_type,
+                                split=0):
+    """qkv: [B, N, 3I] fused [q|k|v]; types: [B, 1, N]. Returns [B, N, I].
+    ``split``: static fusion-tail length (see _fwd_kernel_packed_qkv)."""
+    return _packed_qkv_fwd_impl(qkv, types, heads, scale, fusion_type, split)
+
+
+def _packed_qkv_fwd_impl(qkv, types, heads, scale, fusion_type, split=0):
     b, n, three_i = qkv.shape
     inner = three_i // 3
     dh = inner // heads
-    qkvspec = pl.BlockSpec((1, n, three_i), lambda i: (i, 0, 0),
+    # per-row bytes: double-buffered qkv + out slabs; +2 sim/p transients
+    nb = _batch_block(b, 2 * n * (three_i + inner) * qkv.dtype.itemsize,
+                      budget=10e6 - 2.5 * n * n * 4)
+    qkvspec = pl.BlockSpec((nb, n, three_i), lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM)
-    ospec = pl.BlockSpec((1, n, inner), lambda i: (i, 0, 0),
+    ospec = pl.BlockSpec((nb, n, inner), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
-    tspec = pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    tspec = pl.BlockSpec((nb, 1, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_fwd_kernel_packed_qkv, scale=scale,
-                          fusion_type=fusion_type, heads=heads, dh=dh),
-        grid=(b,),
+                          fusion_type=fusion_type, heads=heads, dh=dh, nb=nb,
+                          split=split),
+        grid=(b // nb,),
         in_specs=[tspec, qkvspec],
         out_specs=ospec,
         out_shape=jax.ShapeDtypeStruct((b, n, inner), qkv.dtype),
@@ -482,25 +618,30 @@ def _packed_qkv_fwd_impl(qkv, types, heads, scale, fusion_type):
     )(types, qkv)
 
 
-def _packed_qkv_fwd(qkv, types, heads, scale, fusion_type):
-    o = _packed_qkv_fwd_impl(qkv, types, heads, scale, fusion_type)
+def _packed_qkv_fwd(qkv, types, heads, scale, fusion_type, split=0):
+    o = _packed_qkv_fwd_impl(qkv, types, heads, scale, fusion_type, split)
     return o, (qkv, types, o)
 
 
-def _packed_qkv_bwd(heads, scale, fusion_type, res, do):
+def _packed_qkv_bwd(heads, scale, fusion_type, split, res, do):
     qkv, types, o = res
     b, n, three_i = qkv.shape
     inner = three_i // 3
     dh = inner // heads
-    qkvspec = pl.BlockSpec((1, n, three_i), lambda i: (i, 0, 0),
+    # double-buffered qkv+o+do+dqkv slabs; ~4 MB of sim/p/dp transients
+    nb = _batch_block(b, 4 * n * (three_i + inner) * qkv.dtype.itemsize,
+                      budget=10e6 - 4 * n * n * 4)
+    qkvspec = pl.BlockSpec((nb, n, three_i), lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM)
-    ospec = pl.BlockSpec((1, n, inner), lambda i: (i, 0, 0),
+    ospec = pl.BlockSpec((nb, n, inner), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
-    tspec = pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    tspec = pl.BlockSpec((nb, 1, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
     dqkv = pl.pallas_call(
         functools.partial(_bwd_kernel_packed_qkv, scale=scale,
-                          fusion_type=fusion_type, heads=heads, dh=dh),
-        grid=(b,),
+                          fusion_type=fusion_type, heads=heads, dh=dh, nb=nb,
+                          split=split),
+        grid=(b // nb,),
         in_specs=[tspec, qkvspec, ospec, ospec],
         out_specs=qkvspec,
         out_shape=jax.ShapeDtypeStruct(qkv.shape, qkv.dtype),
@@ -513,16 +654,20 @@ _zorro_attention_packed_qkv.defvjp(_packed_qkv_fwd, _packed_qkv_bwd)
 
 
 def zorro_self_attention_packed_qkv(qkv, types, heads, fusion_type,
-                                    scale=None):
+                                    scale=None, fusion_tail=0):
     """Fused zorro attention over the fused [B, N, 3I] qkv projection —
-    no XLA-side split copies in or out (grads come back as one dqkv)."""
+    no XLA-side split copies in or out (grads come back as one dqkv).
+    ``fusion_tail``: static count of fusion tokens at the END of the packed
+    layout — enables the structured split kernel (modality queries skip the
+    fusion keys entirely; fusion queries use the row-constant non-PAD
+    mask)."""
     b, n, three_i = qkv.shape
     inner = three_i // 3
     if scale is None:
         scale = (inner // heads) ** -0.5
     return _zorro_attention_packed_qkv(
         qkv, types.astype(jnp.int32)[:, None, :], heads, scale,
-        int(fusion_type),
+        int(fusion_type), int(fusion_tail),
     )
 
 
@@ -543,11 +688,11 @@ def _packed_qkv_xla(qkv, types, heads, fusion_type, scale):
 
 
 def zorro_self_attention_packed_qkv_auto(qkv, types, heads, fusion_type,
-                                         scale=None):
+                                         scale=None, fusion_tail=0):
     """Platform-resolved fused-qkv packed zorro attention."""
     def tpu_path(qkv, types):
         return zorro_self_attention_packed_qkv(qkv, types, heads, fusion_type,
-                                               scale)
+                                               scale, fusion_tail)
 
     def xla_path(qkv, types):
         return _packed_qkv_xla(qkv, types, heads, fusion_type, scale)

@@ -185,3 +185,54 @@ def test_packed_qkv_forward_and_grad_parity():
     g_pl = jax.grad(loss_pl)(qkv)
     g_ref = jax.grad(loss_ref)(qkv)
     np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_ref), atol=3e-5)
+
+
+class TestSplitStructuredKernel:
+    """fusion_tail > 0 split kernel: modality queries skip the fusion tail,
+    fusion queries use the row-constant non-PAD mask — identical VALID
+    outputs and grads vs the unsplit kernel (PAD rows are garbage in both,
+    carry zero gradient, and are excluded from the comparison)."""
+
+    def _layout(self, seed, b, e, f, h, dh, n_types=3):
+        """Packed [modality/pad | fusion-tail] layout like the model's."""
+        rng = np.random.default_rng(seed)
+        n = e + f
+        qkv = jnp.asarray(rng.standard_normal((b, n, 3 * h * dh)),
+                          jnp.float32)
+        types = rng.integers(0, n_types, (b, e))
+        nvis = rng.integers(e // 2, e + 1, (b, 1))
+        types = np.where(np.arange(e)[None] < nvis, types, PAD_TYPE)
+        types = np.concatenate(
+            [types, np.full((b, f), n_types)], axis=1)  # fusion tail
+        valid = jnp.asarray(types != PAD_TYPE)
+        return qkv, jnp.asarray(types, jnp.int32), valid
+
+    def test_forward_matches_unsplit_on_valid_rows(self):
+        from incomplete_multimodal_fusion_tpu.ops.pallas_attn import (
+            zorro_self_attention_packed_qkv)
+
+        b, e, f, h, dh = 2, 24, 16, 2, 8
+        qkv, types, valid = self._layout(3, b, e, f, h, dh)
+        o0 = zorro_self_attention_packed_qkv(qkv, types, h, 3)
+        o1 = zorro_self_attention_packed_qkv(qkv, types, h, 3,
+                                             fusion_tail=f)
+        m = np.asarray(valid)[..., None]
+        np.testing.assert_allclose(np.asarray(o1) * m, np.asarray(o0) * m,
+                                   atol=2e-5)
+
+    def test_grads_match_unsplit(self):
+        from incomplete_multimodal_fusion_tpu.ops.pallas_attn import (
+            zorro_self_attention_packed_qkv)
+
+        b, e, f, h, dh = 2, 24, 16, 2, 8
+        qkv, types, valid = self._layout(4, b, e, f, h, dh)
+        m = valid[..., None].astype(jnp.float32)
+
+        def loss(qkv, tail):
+            o = zorro_self_attention_packed_qkv(qkv, types, h, 3,
+                                                fusion_tail=tail)
+            return jnp.sum(jnp.sin(o) * m)  # valid rows only
+
+        g0 = jax.grad(lambda x: loss(x, 0))(qkv)
+        g1 = jax.grad(lambda x: loss(x, f))(qkv)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), atol=3e-5)
