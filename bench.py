@@ -355,6 +355,24 @@ def main():
         emit({"metric": "data_pipeline_patches_per_sec",
               "error": "skipped: bench wall budget exhausted"})
 
+    # 5) serving-artifact round-trip on the chip (export -> bytes -> load ->
+    #    run with a dropped modality; round-3 verdict Do#7). The standalone
+    #    tools/bench_serving.py records the same metric, and emit() keeps
+    #    the last successful number if this run's budget is exhausted.
+    if left() > 240:
+        try:
+            # in-process: a subprocess would be a SECOND jax client on the
+            # serialized tunnel (hangs); the tool persists its own record
+            from tools.bench_serving import main as serving_main
+
+            serving_main()
+        except Exception as exc:
+            emit({"metric": "serving_artifact_roundtrip",
+                  "error": str(exc)[:200]})
+    else:
+        emit({"metric": "serving_artifact_roundtrip",
+              "error": "skipped: bench wall budget exhausted"})
+
     if os.path.exists(REF_TIMING_FILE):
         with open(REF_TIMING_FILE) as f:
             ref = json.load(f)

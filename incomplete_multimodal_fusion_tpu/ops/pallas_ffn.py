@@ -235,6 +235,8 @@ geglu_ffn.defvjp(_ffn_fwd, _ffn_bwd)
 
 def ffn_supported(m: int, d: int, inner: int) -> bool:
     """Row tiling must divide M; VMEM budget ~ (TM*2I + weights) f32."""
+    if os.environ.get("IMF_DISABLE_PALLAS_FFN"):  # ablation A/B (bench)
+        return False
     return _row_tile(m, inner) > 0
 
 
@@ -407,4 +409,6 @@ def mlp_ffn_auto(x, w1, b1, w2, b2):
 
 
 def mlp_supported(m: int, hidden: int) -> bool:
+    if os.environ.get("IMF_DISABLE_PALLAS_FFN"):  # ablation A/B (bench)
+        return False
     return _row_tile(m, hidden // 2) > 0

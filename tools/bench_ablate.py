@@ -3,7 +3,8 @@ the axon tunnel serializes JAX clients).
 
 Usage: python tools/bench_ablate.py <variant>
 variants: full_pallas | full_xla | zorro_pallas | fwd_only | fwd_only_xla
-        | no_fused_adamw | no_patch_losses | no_fusion_row
+        | no_fused_adamw | no_patch_losses | no_fusion_row | xla_ffn
+        | gather_assembly
 (the no_* variants time full_pallas with exactly one round-3 optimization
 disabled, so each queued change can be accepted/reverted on its own number)
 """
@@ -32,9 +33,11 @@ def main(variant: str):
 
     if variant == "no_fusion_row":
         os.environ["IMF_DISABLE_FUSION_ROW"] = "1"
+    if variant == "xla_ffn":
+        os.environ["IMF_DISABLE_PALLAS_FFN"] = "1"
     attn = "xla" if variant in ("full_xla", "fwd_only_xla") else "pallas"
     fusion = "zorro" if variant == "zorro_pallas" else "crossattn"
-    kv = "onehot" if variant == "onehot_assembly" else "gather"
+    kv = "gather" if variant == "gather_assembly" else "onehot"
     cfg = PretrainConfig(
         model=ModelConfig(fusion_mode=fusion, attn_impl=attn, kv_assembly=kv),
         data=DataConfig(input_size=256, patch_size=16,
