@@ -102,6 +102,11 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch, mesh: Mesh, data_axis: str = "data"):
-    s = batch_sharding(mesh, data_axis)
+def shard_batch(batch, mesh: Mesh, data_axis: str = "data",
+                batch_axis: int = 0):
+    """Put a host batch on the mesh, sharded over ``data_axis`` at array
+    dim ``batch_axis`` (0 for [B, ...]; 1 for K-stacked [K, B, ...]
+    multi-step batches — the scan axis stays replicated)."""
+    spec = P(*([None] * batch_axis + [data_axis]))
+    s = NamedSharding(mesh, spec)
     return jax.tree.map(lambda x: jax.device_put(x, s), batch)

@@ -71,6 +71,11 @@ def get_args():
                         "model depth must divide pp; excludes --tp/--sp)")
     p.add_argument("--pp_microbatches", type=int, default=0,
                    help="GPipe microbatch count (default: = --pp)")
+    p.add_argument("--steps_per_call", type=int, default=1,
+                   help="train steps per device dispatch (lax.scan over a "
+                        "K-stacked batch; amortizes per-dispatch latency on "
+                        "remote/tunneled runtimes — semantics identical to "
+                        "K sequential steps)")
     p.add_argument("--output_dir", type=str, default=None)
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--auto_resume", action="store_true", default=True)
@@ -261,16 +266,34 @@ def main():
             entity=args.wandb_entity, run_name=args.wandb_run_name,
             out_dir=out_dir,
         )
+    # multi-step dispatch: K steps per device call via lax.scan over a
+    # K-stacked batch (train.pretrain.make_multi_step) — semantics are
+    # exactly K sequential steps; last step's metrics are logged
+    k_scan = max(args.steps_per_call, 1)
+    if k_scan > 1:
+        multi_fn = jax.jit(
+            pretrain.make_multi_step(raw_step, k_scan), donate_argnums=0)
+
     log_path = os.path.join(out_dir, "log.txt")
     t_start = time.time()
-    for step in range(start_step, total_steps):
+    for step in range(start_step, total_steps, k_scan):
         epoch = step // steps_per_epoch
-        batch = shard_lib.shard_batch(
-            {k: jnp.asarray(v) for k, v in next(data_iter).items()}, mesh
-        )
-        if args.profile_dir and step - start_step == args.profile_start:
-            jax.profiler.start_trace(args.profile_dir)
-        state, metrics = step_fn(state, batch)
+        if k_scan > 1:
+            stack = [next(data_iter) for _ in range(k_scan)]
+            batch = shard_lib.shard_batch(
+                {k: jnp.asarray(np.stack([s[k] for s in stack]))
+                 for k in stack[0]}, mesh, batch_axis=1)
+            if args.profile_dir and step - start_step == args.profile_start:
+                jax.profiler.start_trace(args.profile_dir)
+            state, ms = multi_fn(state, batch)
+            metrics = jax.tree.map(lambda x: x[-1], ms)
+        else:
+            batch = shard_lib.shard_batch(
+                {k: jnp.asarray(v) for k, v in next(data_iter).items()}, mesh
+            )
+            if args.profile_dir and step - start_step == args.profile_start:
+                jax.profiler.start_trace(args.profile_dir)
+            state, metrics = step_fn(state, batch)
         if args.profile_dir and step - start_step == args.profile_start + args.profile_steps:
             jax.profiler.stop_trace()
             print(f"profiler trace written to {args.profile_dir}", flush=True)
@@ -289,10 +312,13 @@ def main():
             if wandb_logger is not None:
                 wandb_logger.set_step(step)
                 wandb_logger.update(vals)
-        if (step + 1) % steps_per_epoch == 0:
+        # epoch boundary: with k_scan > 1 the loop strides K steps, so test
+        # whether this window crossed one rather than landing exactly on it
+        done = step + k_scan
+        if done % steps_per_epoch < k_scan:
             save_freq = cfg.train.save_ckpt_freq
-            if (epoch + 1) % save_freq == 0 or step + 1 == total_steps:
-                ckpt_lib.save_checkpoint(out_dir, step + 1, state)
+            if (epoch + 1) % save_freq == 0 or done >= total_steps:
+                ckpt_lib.save_checkpoint(out_dir, done, state)
             with open(log_path, "a") as f:
                 f.write(logger.jsonl(epoch=epoch, step=step) + "\n")
     print(f"Training time {time.time() - t_start:.0f}s")
