@@ -35,7 +35,8 @@ def test_recorded_trajectory_parity_numbers():
     """The committed 200-step torch-vs-JAX record must show tracking loss
     curves and masked-PSNR parity."""
     with open(TRAJ) as f:
-        r = json.load(f)
+        rec = json.load(f)
+    r = rec["pretrain"] if "pretrain" in rec else rec
     assert r["steps"] >= 200
     assert r["loss_decreased_torch"] and r["loss_decreased_jax"]
     # same transplanted init -> first losses match at fp32 tolerance
@@ -45,6 +46,17 @@ def test_recorded_trajectory_parity_numbers():
     assert r["final_rel_loss_diff"] < 0.02
     for d, dv in r["psnr_abs_diff"].items():
         assert dv < 0.1, f"PSNR diverged for {d}: {dv} dB"
+    if "downstream" in rec:
+        # round-4 MaskFormer trajectory record (tools/
+        # parity_trajectory_downstream.py): PointRend's framework-private
+        # point sampling injects ~1% loss-estimator noise per term, so the
+        # tracking bounds are looser than the pretrain record's
+        ds = rec["downstream"]
+        assert ds["steps"] >= 50
+        assert ds["loss_decreased_torch"] and ds["loss_decreased_jax"]
+        assert abs(ds["loss_torch_first"] - ds["loss_jax_first"]) < 0.05
+        assert ds["mean_rel_loss_diff"] < 0.04
+        assert ds["final_rel_loss_diff"] < 0.08
 
 
 def test_pretrain_loss_decreases_from_transplanted_init():
