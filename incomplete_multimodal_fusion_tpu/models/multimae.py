@@ -314,7 +314,12 @@ class MultiMAE(nn.Module):
         slot = mask_info.ids_restore  # [B, T*F]
         use = _slot_use(slot, e, mask_info.num_visible)
         onehot = (slot[..., None] == jnp.arange(e, dtype=slot.dtype)) & use[..., None]
-        return onehot.astype(dtype), use
+        # Barrier: without it XLA classifies the one-hot build as
+        # cheap-to-recompute and duplicates the [B, T*F, E] materialization
+        # into every per-layer consumer (round-4 trace: 12 identical
+        # 0.088 ms fusions = ~1 ms/step); forcing one materialization makes
+        # all layers read the same buffer.
+        return jax.lax.optimization_barrier(onehot.astype(dtype)), use
 
     # ---- shared pieces of the gathered-fusion-stream variants (lstm /
     # crossattn_v1): token-type layout, return-token pooling, grid

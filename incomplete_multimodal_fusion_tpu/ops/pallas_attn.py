@@ -392,8 +392,31 @@ def _bwd_kernel_packed(types_ref, q_ref, k_ref, v_ref, o_ref, do_ref,
         ) * scale).astype(dk_ref.dtype)
 
 
+def _pow2(x: float) -> bool:
+    """True when multiplying a bf16/f32 tensor by ``x`` is exact (power of
+    two: mantissa untouched, exponent shifted) — the condition under which
+    the attention scale can be folded into q with bit-identical sim."""
+    import math
+
+    m, _ = math.frexp(x)
+    return m == 0.5
+
+
+def _fast_softmax() -> bool:
+    """Round-4 softmax restructure (on by default; set
+    IMF_ATTN_CLASSIC_SOFTMAX=1 to A/B the round-3 form): fold the attention
+    scale into q (exact for power-of-two scales, i.e. dh in {16, 64, 256})
+    and defer the softmax normalization out of the [N, N] plane — the PV
+    matmul runs on unnormalized exp rows and the output is rescaled by the
+    [N, 1] reciprocal row-sum. Kills one full [N, N] VPU pass (the divide)
+    plus the [N, N] scale multiply per head per direction."""
+    import os
+
+    return os.environ.get("IMF_ATTN_CLASSIC_SOFTMAX", "0") != "1"
+
+
 def _fwd_kernel_packed_qkv(types_ref, qkv_ref, o_ref, *, scale, fusion_type,
-                           heads, dh, nb=1, split=0):
+                           heads, dh, nb=1, split=0, fast=False):
     """Packed kernel over the FUSED [N, 3I] qkv slab: q/k/v are static lane
     slices of one operand, so XLA never materializes split copies of the
     projection output just to feed the custom call (round-3 profile:
@@ -456,6 +479,18 @@ def _fwd_kernel_packed_qkv(types_ref, qkv_ref, o_ref, *, scale, fusion_type,
                     p_f.astype(v.dtype), v,
                     preferred_element_type=jnp.float32).astype(o_ref.dtype)
                 continue
+            if fast:
+                sim = jax.lax.dot_general(
+                    q * scale, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                sim = jnp.where(allowed, sim, NEG_INF)
+                e = jnp.exp(sim - jnp.max(sim, axis=-1, keepdims=True))
+                r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)  # [N, 1]
+                o_ref[j, :, h * dh:(h + 1) * dh] = (jnp.dot(
+                    e.astype(v.dtype), v, preferred_element_type=jnp.float32
+                ) * r).astype(o_ref.dtype)
+                continue
             sim = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32
@@ -468,7 +503,8 @@ def _fwd_kernel_packed_qkv(types_ref, qkv_ref, o_ref, *, scale, fusion_type,
 
 
 def _bwd_kernel_packed_qkv(types_ref, qkv_ref, o_ref, do_ref, dqkv_ref, *,
-                           scale, fusion_type, heads, dh, nb=1, split=0):
+                           scale, fusion_type, heads, dh, nb=1, split=0,
+                           fast=False):
     inner = heads * dh
     for j in range(nb):
         t = types_ref[j, 0]
@@ -543,6 +579,39 @@ def _bwd_kernel_packed_qkv(types_ref, qkv_ref, o_ref, do_ref, dqkv_ref, *,
                     ds_f, k, preferred_element_type=jnp.float32
                 ) * scale).astype(dqkv_ref.dtype)
                 continue
+            if fast:
+                sim = jax.lax.dot_general(
+                    q * scale, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                sim = jnp.where(allowed, sim, NEG_INF)
+                e = jnp.exp(sim - jnp.max(sim, axis=-1, keepdims=True))
+                r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)  # [N, 1]
+                # dv = p^T do = e^T (r-weighted do): fold the row
+                # normalization into do ([N, dh] pass, not [N, N])
+                dorb = (do * r).astype(v.dtype)
+                dqkv_ref[j, :, 2 * inner + h * dh:2 * inner + (h + 1) * dh] = (
+                    jax.lax.dot_general(
+                        e.astype(v.dtype), dorb, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ).astype(dqkv_ref.dtype))
+                dp = jax.lax.dot_general(
+                    dob, v, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                # ds = p (dp - d) scale = e * (dp - d) * (r scale); the
+                # [N, 1] r*scale and the fused elementwise chain keep this
+                # at one [N, N] pass with the softmax scale included
+                ds = (e * ((dp - d) * (r * scale))).astype(q.dtype)
+                dqkv_ref[j, :, h * dh:(h + 1) * dh] = jnp.dot(
+                    ds, k, preferred_element_type=jnp.float32
+                ).astype(dqkv_ref.dtype)
+                dqkv_ref[j, :, inner + h * dh:inner + (h + 1) * dh] = (
+                    jax.lax.dot_general(
+                        ds, q, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ).astype(dqkv_ref.dtype))
+                continue
             sim = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32
@@ -609,7 +678,8 @@ def _packed_qkv_fwd_impl(qkv, types, heads, scale, fusion_type, split=0):
     return pl.pallas_call(
         functools.partial(_fwd_kernel_packed_qkv, scale=scale,
                           fusion_type=fusion_type, heads=heads, dh=dh, nb=nb,
-                          split=split),
+                          split=split,
+                          fast=_fast_softmax() and _pow2(scale) and not split),
         grid=(b // nb,),
         in_specs=[tspec, qkvspec],
         out_specs=ospec,
@@ -640,7 +710,8 @@ def _packed_qkv_bwd(heads, scale, fusion_type, split, res, do):
     dqkv = pl.pallas_call(
         functools.partial(_bwd_kernel_packed_qkv, scale=scale,
                           fusion_type=fusion_type, heads=heads, dh=dh, nb=nb,
-                          split=split),
+                          split=split,
+                          fast=_fast_softmax() and _pow2(scale) and not split),
         grid=(b // nb,),
         in_specs=[tspec, qkvspec, ospec, ospec],
         out_specs=qkvspec,

@@ -16,9 +16,10 @@ softmax. An earlier per-(batch,head)-program routing of this size was
 measured slower than XLA (models/layers.py note); this whole-batch-row
 design is what changed the verdict.
 
-Backward is flash-style: recompute p = softmax(s) per head in VMEM, then
-  dv = p^T dy;  dp = dy v^T;  ds = p * (dp - rowsum(dp * p))
-  dq = ds k * scale;  dk = ds^T q * scale
+Backward is flash-style: recompute the unnormalized exp rows per head in
+VMEM with the saved forward output supplying d = rowsum(dy * o), then
+  dv = e^T (r dy);  dp = dy v^T;  ds = e * ((dp - d) * (r * scale))
+  dq = ds k;  dk = ds^T q
 """
 from __future__ import annotations
 
@@ -34,7 +35,16 @@ from .pallas_common import interpret_mode
 
 def _fwd_kernel_qkv(qkv_ref, o_ref, *, heads: int, dh: int):
     """Fused-qkv variant: q/k/v are static lane slices of one [N, 3I] slab,
-    so XLA never materializes split copies to feed the custom call."""
+    so XLA never materializes split copies to feed the custom call.
+
+    Round 4: the profile showed this kernel VPU-bound (~75% of its time in
+    the 8 per-head softmaxes, the matmul floor being only ~30% at dh=32),
+    so the normalization is deferred off the [N, N] plane — unnormalized
+    exp rows feed the PV matmul and the [N, dh] output is rescaled by the
+    reciprocal row-sum (one fewer full-plane pass per head). The attention
+    scale rides the exp's subtract chain (max commutes with positive
+    scaling: exp((s - max s) * scale) == softmax numerator of s * scale),
+    removing the standalone [N, N] scale multiply as well."""
     scale = dh ** -0.5
     inner = heads * dh
     for h in range(heads):
@@ -43,13 +53,20 @@ def _fwd_kernel_qkv(qkv_ref, o_ref, *, heads: int, dh: int):
         v = qkv_ref[0, :, 2 * inner + h * dh:2 * inner + (h + 1) * dh]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        p = jax.nn.softmax(s, axis=-1)
-        o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        )
+        e = jnp.exp((s - jnp.max(s, axis=-1, keepdims=True)) * scale)
+        r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+        o = jnp.dot(e.astype(v.dtype), v, preferred_element_type=jnp.float32) * r
         o_ref[0, :, h * dh:(h + 1) * dh] = o.astype(o_ref.dtype)
 
 
-def _bwd_kernel_qkv(qkv_ref, dy_ref, dqkv_ref, *, heads: int, dh: int):
+def _bwd_kernel_qkv(qkv_ref, o_ref, dy_ref, dqkv_ref, *, heads: int, dh: int):
+    """Flash-style backward on the deferred-normalization form. Saving the
+    forward output lets d use the [N, dh] identity rowsum(dp*p) ==
+    rowsum(dy*o), replacing the old full-plane dp*p multiply+reduce; the
+    row normalization r and the attention scale ride existing [N, dh] /
+    fused chains, so the only [N, N] passes left are max, sub*scale+exp,
+    sum-read, the ds chain, and the bf16 casts feeding the MXU."""
     scale = dh ** -0.5
     inner = heads * dh
     for h in range(heads):
@@ -57,23 +74,27 @@ def _bwd_kernel_qkv(qkv_ref, dy_ref, dqkv_ref, *, heads: int, dh: int):
         k = qkv_ref[0, :, inner + h * dh:inner + (h + 1) * dh]
         v = qkv_ref[0, :, 2 * inner + h * dh:2 * inner + (h + 1) * dh]
         dy = dy_ref[0, :, h * dh:(h + 1) * dh]
+        dyf = dy.astype(jnp.float32)
+        o = o_ref[0, :, h * dh:(h + 1) * dh].astype(jnp.float32)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        p = jax.nn.softmax(s, axis=-1)
-        pb = p.astype(v.dtype)
+        )
+        e = jnp.exp((s - jnp.max(s, axis=-1, keepdims=True)) * scale)
+        r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+        d = jnp.sum(dyf * o, axis=-1, keepdims=True)  # [N, 1]
+        dyr = (dyf * r).astype(v.dtype)
         dv = jax.lax.dot_general(
-            pb, dy, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            e.astype(v.dtype), dyr, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         dp = jax.lax.dot_general(
             dy, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        dsb = ds.astype(q.dtype)
-        dq = jnp.dot(dsb, k, preferred_element_type=jnp.float32) * scale
+        ds = (e * ((dp - d) * (r * scale))).astype(q.dtype)
+        dq = jnp.dot(ds, k, preferred_element_type=jnp.float32)
         dk = jax.lax.dot_general(
-            dsb, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
         dqkv_ref[0, :, h * dh:(h + 1) * dh] = dq.astype(dqkv_ref.dtype)
         dqkv_ref[0, :, inner + h * dh:inner + (h + 1) * dh] = (
             dk.astype(dqkv_ref.dtype))
@@ -116,20 +137,22 @@ def _fwd_qkv_impl(qkv, heads, dh):
 
 
 def _fwd_qkv_rule(heads, dh, qkv):
-    return _fwd_qkv_impl(qkv, heads, dh), qkv
+    o = _fwd_qkv_impl(qkv, heads, dh)
+    return o, (qkv, o)
 
 
-def _bwd_qkv_rule(heads, dh, qkv, dy):
+def _bwd_qkv_rule(heads, dh, res, dy):
+    qkv, o = res
     b, n, _ = qkv.shape
     qkvspec, ospec = _qkv_specs(n, heads, dh)
     dqkv = pl.pallas_call(
         functools.partial(_bwd_kernel_qkv, heads=heads, dh=dh),
         grid=(b,),
-        in_specs=[qkvspec, ospec],
+        in_specs=[qkvspec, ospec, ospec],
         out_specs=qkvspec,
         out_shape=jax.ShapeDtypeStruct(qkv.shape, qkv.dtype),
         interpret=interpret_mode(),
-    )(qkv, dy)
+    )(qkv, o, dy)
     return (dqkv,)
 
 
@@ -141,7 +164,7 @@ def small_attention_supported(n: int, inner: int, dh: int) -> bool:
     lane-axis head slices need dh a multiple of the sublane-friendly 8 and
     the inner dim 128-aligned for clean tiling."""
     return (n <= 1024 and n % 8 == 0 and inner % 128 == 0 and dh % 8 == 0
-            and (n * n * 4 + 4 * n * inner * 2) <= 8e6)
+            and (n * n * 4 + 8 * n * inner * 2) <= 8e6)
 
 
 def small_attention_qkv_xla(qkv, heads: int, dh: int):
