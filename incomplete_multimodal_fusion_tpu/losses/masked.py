@@ -129,6 +129,10 @@ LOSS_FNS: Dict[str, Callable] = {
 def _patchify_f32(target: jnp.ndarray, p: int) -> jnp.ndarray:
     from ..ops.patches import patchify  # the canonical (ph, pw, c) layout
 
+    if target.ndim == 3:
+        # already patch-major [B, N, p*p*C] (host-side patchify,
+        # data.patchify_batch) — no device-side 6-D transpose
+        return target.astype(jnp.float32)
     return patchify(target.astype(jnp.float32), p)
 
 

@@ -41,18 +41,34 @@ class PatchedInputAdapter(nn.Module):
 
     @nn.compact
     def __call__(self, x, dim_tokens: Optional[int] = None):
-        b, h, w, c = x.shape
-        assert c == self.num_channels, (
-            f"adapter expects {self.num_channels} channels, got {c} (input {x.shape})"
-        )
         p = self.p
-        n_h, n_w = h // p, w // p
         dim = dim_tokens
         kernel = self.param(
-            "proj_kernel", nn.initializers.xavier_uniform(), (p * p * c, dim)
+            "proj_kernel", nn.initializers.xavier_uniform(),
+            (p * p * self.num_channels, dim)
         )
         bias = self.param("proj_bias", nn.initializers.zeros, (dim,))
-        tokens = conv_patch_embed(x, kernel.astype(x.dtype), bias.astype(x.dtype), p)
+        if x.ndim == 3:
+            # patch-major input [B, N, p*p*C] (pixel order (ph, pw, c), the
+            # ops.patches.patchify layout): the host loader already emitted
+            # MXU-ready patches, so the embedding is a single matmul with no
+            # device-side 6-D transpose copies (round-4 step profile:
+            # ~0.2 ms of input patchify layout copies at the flagship shape)
+            b, n, pc = x.shape
+            assert pc == p * p * self.num_channels, (
+                f"adapter expects patch dim {p * p * self.num_channels}, "
+                f"got {pc} (input {x.shape})"
+            )
+            n_h = n_w = int(round(n ** 0.5))
+            assert n_h * n_w == n, f"patch-major input needs a square grid, got N={n}"
+            tokens = x @ kernel.astype(x.dtype) + bias.astype(x.dtype)
+        else:
+            b, h, w, c = x.shape
+            assert c == self.num_channels, (
+                f"adapter expects {self.num_channels} channels, got {c} (input {x.shape})"
+            )
+            n_h, n_w = h // p, w // p
+            tokens = conv_patch_embed(x, kernel.astype(x.dtype), bias.astype(x.dtype), p)
 
         hp = self.image_size // (self.stride_level * p)
         if self.sincos_pos_emb and not self.learnable_pos_emb:

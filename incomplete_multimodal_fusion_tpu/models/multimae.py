@@ -425,7 +425,22 @@ class MultiMAE(nn.Module):
         # matching the reference's torch.cat of per-modality visible tokens)
         full = jnp.concatenate([input_task_tokens[d] for d in self.in_domains], axis=1)
         keep = mask_info.order[:, :e]
-        packed = jnp.take_along_axis(full, keep[..., None], axis=1)  # [B, E, D]
+        onehot = use = None
+        if self.fusion_mode == "crossattn" and self.kv_assembly != "gather":
+            # The grid one-hot IS the pack permutation's transpose, so the
+            # pack runs as one MXU matmul (and its transpose in backward)
+            # instead of a gather + grad scatter (round-4 trace: 0.17 +
+            # 0.36 ms of gather/scatter fusions). Exact for visible slots
+            # (each row sums one 1.0 term); padding slots become zeros
+            # instead of clipped-gather duplicates — they are PAD-masked
+            # everywhere downstream (types_padded / use / valid).
+            onehot, use = self._grid_onehot(mask_info, e, dtype)
+            packed = jax.lax.dot_general(
+                onehot, full, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).astype(dtype)
+        else:
+            packed = jnp.take_along_axis(full, keep[..., None], axis=1)  # [B, E, D]
 
         if self.fusion_mode == "lstm":
             return self._forward_lstm(
@@ -452,8 +467,7 @@ class MultiMAE(nn.Module):
                 use = _slot_use(slot, e, mask_info.num_visible)
                 onehot = None  # never materialized; bwd rebuilds per layer
             else:
-                onehot, use = self._grid_onehot(mask_info, e, dtype)
-                slot = None
+                slot = None  # onehot/use already built for the pack above
             mask_emb = self.mask_embedding.astype(dtype)
         if trunk_fn is not None and not self.is_initializing():
             # externally supplied trunk (pipeline parallelism,

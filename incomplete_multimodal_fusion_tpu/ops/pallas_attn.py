@@ -666,9 +666,14 @@ def _packed_qkv_fwd_impl(qkv, types, heads, scale, fusion_type, split=0):
     b, n, three_i = qkv.shape
     inner = three_i // 3
     dh = inner // heads
-    # per-row bytes: double-buffered qkv + out slabs; +2 sim/p transients
+    fast = _fast_softmax() and _pow2(scale) and not split
+    # per-row bytes: double-buffered qkv + out slabs; sim/p transients —
+    # the fast form keeps sim AND the unnormalized exp rows live together
+    # (plus the bf16 cast), so its transient estimate is larger (the 2.5x
+    # budget at nb=3 blew the 16M scoped-vmem limit by 3.9M on-device)
+    trans = 4.5 if fast else 2.5
     nb = _batch_block(b, 2 * n * (three_i + inner) * qkv.dtype.itemsize,
-                      budget=10e6 - 2.5 * n * n * 4)
+                      budget=10e6 - trans * n * n * 4)
     qkvspec = pl.BlockSpec((nb, n, three_i), lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM)
     ospec = pl.BlockSpec((nb, n, inner), lambda i: (i, 0, 0),
@@ -678,8 +683,7 @@ def _packed_qkv_fwd_impl(qkv, types, heads, scale, fusion_type, split=0):
     return pl.pallas_call(
         functools.partial(_fwd_kernel_packed_qkv, scale=scale,
                           fusion_type=fusion_type, heads=heads, dh=dh, nb=nb,
-                          split=split,
-                          fast=_fast_softmax() and _pow2(scale) and not split),
+                          split=split, fast=fast),
         grid=(b // nb,),
         in_specs=[tspec, qkvspec],
         out_specs=ospec,

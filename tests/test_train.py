@@ -294,3 +294,40 @@ class TestFSDP:
         np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=2e-5)
         for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+class TestPatchMajorBatch:
+    def test_patch_major_loss_identical(self):
+        """Host-emitted [B, N, p*p*C] batches (data.patchify_batch) must give
+        bit-identical losses to image batches: host patchify is the same
+        permutation the device would apply (ops.patches.patchify), so the
+        adapter matmul and the patch-space loss see identical values."""
+        from incomplete_multimodal_fusion_tpu.data import patchify_batch
+
+        cfg = PretrainConfig(
+            model=ModelConfig(dim_tokens=32, depth=2, dim_head=8, heads=2,
+                              ff_mult=2, num_fusion_tokens=16),
+            data=DataConfig(input_size=64, batch_size=4),
+            mask=MaskConfig(num_encoded_tokens=24),
+        )
+        model, state, tx = pretrain.create_train_state(
+            cfg, jax.random.PRNGKey(0), total_steps=100)
+        hb = synthetic_batch(np.random.default_rng(0), cfg.data.in_domains, 4, 64)
+        b_img = {k: jnp.asarray(v) for k, v in hb.items()}
+        b_pat = {k: jnp.asarray(v)
+                 for k, v in patchify_batch(hb, cfg.data.patch_size).items()}
+        assert b_pat["s1"].ndim == 3
+        step = jax.jit(pretrain.make_train_step(model, cfg, tx))
+        _, m1 = step(state, b_img)
+        _, m2 = step(state, b_pat)
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+
+    def test_patch_major_semseg_passthrough(self):
+        """Integer semantic maps pass through patchify_batch unchanged."""
+        from incomplete_multimodal_fusion_tpu.data import patchify_batch
+
+        hb = {"dnw": np.zeros((2, 64, 64), np.int32),
+              "s2": np.zeros((2, 64, 64, 3), np.float32)}
+        out = patchify_batch(hb, 16)
+        assert out["dnw"].shape == (2, 64, 64)
+        assert out["s2"].shape == (2, 16, 16 * 16 * 3)

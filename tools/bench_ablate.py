@@ -4,7 +4,7 @@ the axon tunnel serializes JAX clients).
 Usage: python tools/bench_ablate.py <variant>
 variants: full_pallas | full_xla | zorro_pallas | fwd_only | fwd_only_xla
         | no_fused_adamw | no_patch_losses | no_fusion_row | xla_ffn
-        | gather_assembly
+        | gather_assembly | patch_major (host-emitted [B,N,p*p*C] batches)
 (the no_* variants time full_pallas with exactly one round-3 optimization
 disabled, so each queued change can be accepted/reverted on its own number)
 """
@@ -49,8 +49,12 @@ def main(variant: str):
     )
     b = cfg.data.batch_size
     model, state, tx = pretrain.create_train_state(cfg, jax.random.PRNGKey(0), 1000)
-    batch = {k: jnp.asarray(v) for k, v in synthetic_batch(
-        np.random.default_rng(0), cfg.data.in_domains, b, 256).items()}
+    host_batch = synthetic_batch(
+        np.random.default_rng(0), cfg.data.in_domains, b, 256)
+    if variant == "patch_major":
+        from incomplete_multimodal_fusion_tpu.data import patchify_batch
+        host_batch = patchify_batch(host_batch, cfg.data.patch_size)
+    batch = {k: jnp.asarray(v) for k, v in host_batch.items()}
 
     if variant.startswith("fwd_only"):
         e = cfg.mask.num_encoded_tokens
