@@ -82,7 +82,7 @@ def dummy_batch(cfg: PretrainConfig, batch_size: int) -> Dict[str, jnp.ndarray]:
 
 
 def make_loss_fn(model: MultiMAE, cfg: PretrainConfig, pp_mesh=None,
-                 pp_microbatches: int = 0):
+                 pp_microbatches: int = 0, sp=None):
     in_domains = tuple(cfg.data.in_domains)
     out_domains = tuple(cfg.data.out_domains)
     e = cfg.mask.num_encoded_tokens
@@ -116,6 +116,7 @@ def make_loss_fn(model: MultiMAE, cfg: PretrainConfig, pp_mesh=None,
             deterministic=False,
             rngs={"dropout": dropout_rng},
             trunk_fn=trunk_fn,
+            sp=sp,
         )
         task_losses = {}
         preds_patch = out.get("preds_patch")
@@ -152,9 +153,9 @@ def make_loss_fn(model: MultiMAE, cfg: PretrainConfig, pp_mesh=None,
 
 
 def make_train_step(model: MultiMAE, cfg: PretrainConfig, tx, pp_mesh=None,
-                    pp_microbatches: int = 0):
+                    pp_microbatches: int = 0, sp=None):
     loss_fn = make_loss_fn(model, cfg, pp_mesh=pp_mesh,
-                           pp_microbatches=pp_microbatches)
+                           pp_microbatches=pp_microbatches, sp=sp)
     in_domains = tuple(cfg.data.in_domains)
     nums = tuple(cfg.data.num_patches for _ in in_domains)
     e = cfg.mask.num_encoded_tokens

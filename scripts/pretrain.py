@@ -219,15 +219,17 @@ def main():
             cfg.train.seed, cfg.data.in_domains, global_batch, cfg.data.input_size
         )
 
+    sp_spec = None
+    if args.sp:
+        from incomplete_multimodal_fusion_tpu.parallel import sp as sp_lib
+
+        sp_spec = sp_lib.SPSpec(mesh)
     raw_step = pretrain.make_train_step(
         model, cfg, tx,
         pp_mesh=mesh if pp > 1 else None,
         pp_microbatches=args.pp_microbatches,
+        sp=sp_spec,
     )
-    if args.sp:
-        from incomplete_multimodal_fusion_tpu.parallel import sp as sp_lib
-
-        raw_step = sp_lib.wrap_step(raw_step, mesh)
     step_fn = jax.jit(raw_step, donate_argnums=0)
 
     model_axis = "model" if tp > 1 else None

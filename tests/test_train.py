@@ -193,7 +193,8 @@ class TestDataParallel:
             opt_state=jax.device_put(state.opt_state, repl),
             rng=jax.device_put(state.rng, repl),
         )
-        sp_step = sp_lib.wrap_step(step_fn, mesh)
+        sp_step = pretrain.make_train_step(model, cfg, tx,
+                                           sp=sp_lib.SPSpec(mesh))
         s2, m2 = jax.jit(sp_step)(state_s, shard_lib.shard_batch(batch, mesh))
 
         np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
@@ -203,12 +204,11 @@ class TestDataParallel:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=2e-4)
 
-    def test_sp_shard_is_identity_without_context(self):
+    def test_sp_shard_is_identity_without_spec(self):
         from incomplete_multimodal_fusion_tpu.parallel import sp as sp_lib
 
         x = jnp.ones((2, 8, 4))
-        assert sp_lib.sp_shard(x) is x
-        assert not sp_lib.sp_enabled()
+        assert sp_lib.sp_shard(x, None) is x
 
 
 class TestHybridMesh:
