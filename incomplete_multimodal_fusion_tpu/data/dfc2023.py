@@ -197,10 +197,12 @@ class DFC2023Dataset:
         consumes ~1 GB/s of normalized rasters), so pass count is the whole
         game: the default path costs ~7 memory passes per modality (decode,
         astype, transpose, nan_to_num, subtract, divide, batch-transpose);
-        this one costs two (read strip, write normalized). Falls back to
-        ``__getitem__`` (returns False) for resized/cropped/labeled configs,
-        compressed TIFFs, or exotic dtypes — numerics are identical either
-        way (tests/test_data_tiff.py)."""
+        this one costs two (read strip, write normalized). Compressed trees
+        (deflate/packbits/lzw) work too: ``read_tiff`` inflates the strips
+        (zlib runs at C speed) and the normalize-into pass is unchanged.
+        Falls back to ``__getitem__`` (returns False) for resized/cropped/
+        labeled configs, tiled TIFFs, or exotic dtypes — numerics are
+        identical either way (tests/test_data_tiff.py)."""
         if self.transform or not self.unlabeled:
             return False
         from . import native
