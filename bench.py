@@ -176,6 +176,21 @@ def bench_downstream_pair(n_steps: int = 10, n_steps_exact: int = 4):
     return out
 
 
+def enable_compile_cache():
+    """Persistent XLA compilation cache: the driver's budgeted run pays the
+    big downstream/serving compiles only the first round; later rounds hit
+    the cache and all six metrics fit comfortably in the 900 s budget
+    (round-4 verdict Do#3)."""
+    try:
+        cache_dir = os.path.join(ROOT, ".jax_compile_cache")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass  # older jax or unsupported backend: compile as before
+
+
 def main():
     from incomplete_multimodal_fusion_tpu.config import (
         DataConfig, MaskConfig, PretrainConfig,
@@ -232,15 +247,38 @@ def main():
     def compute_mfu():
         import dataclasses as _dc
 
-        cfg_xla = _dc.replace(cfg, model=_dc.replace(cfg.model, attn_impl="xla"))
-        model_x, _, _ = pretrain.create_train_state(
-            cfg_xla, jax.random.PRNGKey(0), total_steps=1000
-        )
-        step_x = jax.jit(pretrain.make_train_step(model_x, cfg_xla, tx))
-        cost = step_x.lower(state, batch).compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        flops_per_step = float(cost.get("flops", 0.0))
+        # the FLOP count is a pure function of the config — cache it so the
+        # driver's budgeted run doesn't pay the all-XLA variant's compile
+        # every round (round-4 verdict Do#3: fit all six metrics in 900 s)
+        cache_path = os.path.join(ROOT, "BENCH_FLOPS_CACHE.json")
+        cfg_key = json.dumps(dataclasses.asdict(cfg), sort_keys=True,
+                             default=str)
+        flops_per_step = 0.0
+        try:
+            with open(cache_path) as f:
+                cached = json.load(f)
+            if cached.get("cfg_key") == cfg_key:
+                flops_per_step = float(cached["flops_per_step"])
+        except (OSError, ValueError, KeyError):
+            pass
+        if flops_per_step <= 0:
+            cfg_xla = _dc.replace(cfg, model=_dc.replace(cfg.model,
+                                                         attn_impl="xla"))
+            model_x, _, _ = pretrain.create_train_state(
+                cfg_xla, jax.random.PRNGKey(0), total_steps=1000
+            )
+            step_x = jax.jit(pretrain.make_train_step(model_x, cfg_xla, tx))
+            cost = step_x.lower(state, batch).compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            flops_per_step = float(cost.get("flops", 0.0))
+            if flops_per_step > 0:
+                try:
+                    with open(cache_path, "w") as f:
+                        json.dump({"cfg_key": cfg_key,
+                                   "flops_per_step": flops_per_step}, f)
+                except OSError:
+                    pass
         kind = jax.devices()[0].device_kind.lower()
         peak = 197e12 if ("v5 lite" in kind or "v5e" in kind) else None
         if flops_per_step > 0 and peak:
@@ -272,7 +310,13 @@ def main():
                 with open(extra_path) as f:
                     merged = json.load(f)
             k = rec["metric"]
-            if "value" in rec or "value" not in merged.get(k, {}):
+            # keep-last-success keyed on the ABSENCE of "error": a skip/error
+            # record must never replace a measured one (round-4 verdict Weak
+            # #2 — the old guard keyed on "value", which tool records like
+            # serving_artifact_roundtrip don't carry, so a budget-skip
+            # clobbered a real measurement).
+            if "error" not in rec or "error" in merged.get(k, {"error": 1}):
+                rec.pop("stale_note", None)  # fresh measurement: clear note
                 merged[k] = rec
             else:  # keep the last successful measurement, note the skip
                 merged[k]["stale_note"] = rec.get("error", "")[:120]
@@ -423,4 +467,5 @@ if __name__ == "__main__":
                      "(axon tunnel outage)",
         }))
         sys.exit(2)
+    enable_compile_cache()
     main()

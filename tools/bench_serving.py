@@ -73,6 +73,7 @@ def main():
 
     rec = {
         "metric": "serving_artifact_roundtrip",
+        "value": round(p50, 2),  # headline number = p50 roundtrip ms
         "artifact_mb": round(size_mb, 2),
         "export_s": round(t_export, 1),
         "p50_ms": round(p50, 2),
