@@ -200,7 +200,8 @@ class ZorroAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, context=None, attn_mask=None, packed_types=None,
-                 fusion_type=None, use_pallas=False, fusion_tail=0):
+                 fusion_type=None, use_pallas=False, fusion_tail=0,
+                 empty_rows_uniform_over=None):
         from ..ops.attention import zorro_mask_from_padded_types
         from ..ops.pallas_attn import (
             PAD_TYPE, packed_supported, zorro_self_attention,
@@ -270,7 +271,8 @@ class ZorroAttention(nn.Module):
                 packed_types, fusion_type, PAD_TYPE
             )[:, None]
         out = multihead_attention(
-            heads_split(q), heads_split(k), heads_split(v), mask=attn_mask
+            heads_split(q), heads_split(k), heads_split(v), mask=attn_mask,
+            empty_rows_uniform_over=empty_rows_uniform_over,
         )
         out = out.reshape(*out.shape[:-2], inner)
         return nn.Dense(

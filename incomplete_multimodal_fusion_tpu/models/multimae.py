@@ -346,7 +346,14 @@ class MultiMAE(nn.Module):
         ret = jnp.broadcast_to(
             self.return_tokens.astype(dtype), (b,) + self.return_tokens.shape[1:]
         )
-        ret = self.attn_pool(ret, context=tokens, attn_mask=pool_mask)
+        # A zero-visible modality's return token has an all-masked row; the
+        # reference then uniform-attends over its whole (all-valid) sequence
+        # (zorro_utils.py masked_fill(-finfo.max) + softmax). Our packed
+        # layout reproduces that by uniform-averaging the valid keys — the
+        # exact key set the reference sequence contains. See
+        # ops/attention.multihead_attention.
+        ret = self.attn_pool(ret, context=tokens, attn_mask=pool_mask,
+                             empty_rows_uniform_over=valid[:, None, None, :])
         return ret + self.mlp(self.norm(ret))
 
     def _scatter_back(self, fusion_part, fusion_full, mask_info: MaskInfo, e: int):
@@ -391,6 +398,7 @@ class MultiMAE(nn.Module):
         num_encoded_tokens: int,
         deterministic: bool = True,
         trunk_fn=None,
+        sp=None,
     ):
         """Forward (reference multimae_crossattn.py:331-545).
 
@@ -503,9 +511,9 @@ class MultiMAE(nn.Module):
                     deterministic=deterministic,
                     fusion_tail=0,  # split kernel measured slower (see pallas_attn)
                 )
-                # sequence parallelism (no-op outside a parallel.sp context):
-                # the residual stream re-shards [B, N/tp, D] between blocks
-                tokens = sp_shard(tokens)
+                # sequence parallelism (no-op when sp is None): the residual
+                # stream re-shards [B, N/tp, D] between blocks
+                tokens = sp_shard(tokens, sp)
 
         tokens = self.norm(tokens)
 
@@ -519,7 +527,10 @@ class MultiMAE(nn.Module):
         ret = jnp.broadcast_to(
             self.return_tokens.astype(dtype), (b,) + self.return_tokens.shape[1:]
         )
-        ret = self.attn_pool(ret, context=tokens, attn_mask=pool_mask)
+        # zero-visible modality => all-masked row => reference uniform-attends
+        # over the whole sequence (see _pool_returns / ops/attention.py)
+        ret = self.attn_pool(ret, context=tokens, attn_mask=pool_mask,
+                             empty_rows_uniform_over=valid[:, None, None, :])
         ret = ret + self.mlp(self.norm(ret))
 
         encoder_fusion_tokens = tokens[:, e:, :]

@@ -41,22 +41,27 @@ def test_recorded_trajectory_parity_numbers():
     assert r["loss_decreased_torch"] and r["loss_decreased_jax"]
     # same transplanted init -> first losses match at fp32 tolerance
     assert abs(r["loss_torch_first"] - r["loss_jax_first"]) < 1e-4
-    # curves track: mean within 1%, endpoint within 2%
-    assert r["mean_rel_loss_diff"] < 0.01
+    # curves track: mean within 0.5%, EVERY step within 2% (the round-4
+    # one-sided outliers were the reference's uniform-attention quirk on
+    # zero-visible-modality pool rows, now reproduced — see PARITY.md)
+    assert r["mean_rel_loss_diff"] < 0.005
+    assert r["max_rel_loss_diff"] < 0.02
     assert r["final_rel_loss_diff"] < 0.02
     for d, dv in r["psnr_abs_diff"].items():
         assert dv < 0.1, f"PSNR diverged for {d}: {dv} dB"
     if "downstream" in rec:
-        # round-4 MaskFormer trajectory record (tools/
-        # parity_trajectory_downstream.py): PointRend's framework-private
-        # point sampling injects ~1% loss-estimator noise per term, so the
-        # tracking bounds are looser than the pretrain record's
+        # round-5 EXACT MaskFormer trajectory record (tools/
+        # parity_trajectory_downstream.py): masks, modality subsets, matcher
+        # assignments AND PointRend point coords are all injected from the
+        # reference run, so step 0 matches at fp32 (~2e-6 rel) and the only
+        # residual is compounding fp reduction-order drift across 50 AdamW
+        # steps (0.02% first decade -> ~2% last)
         ds = rec["downstream"]
         assert ds["steps"] >= 50
         assert ds["loss_decreased_torch"] and ds["loss_decreased_jax"]
-        assert abs(ds["loss_torch_first"] - ds["loss_jax_first"]) < 0.05
-        assert ds["mean_rel_loss_diff"] < 0.04
-        assert ds["final_rel_loss_diff"] < 0.08
+        assert abs(ds["loss_torch_first"] - ds["loss_jax_first"]) < 1e-3
+        assert ds["mean_rel_loss_diff"] < 0.01
+        assert ds["final_rel_loss_diff"] < 0.02
 
 
 def test_pretrain_loss_decreases_from_transplanted_init():

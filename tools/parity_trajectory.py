@@ -86,6 +86,7 @@ def run_torch(model, batches, masks, steps):
     opt = torch.optim.AdamW(model.parameters(), lr=LR, betas=BETAS, eps=EPS,
                             weight_decay=0.0)
     losses = []
+    terms = []  # per-step {s1, s2, dem, contra} (round-4 verdict Do#2)
     model.train()
     for i in range(steps):
         nb = batches[i % len(batches)]
@@ -112,7 +113,9 @@ def run_torch(model, batches, masks, steps):
         loss.backward()
         opt.step()
         losses.append(float(loss.item()))
-    return losses
+        terms.append({d: float(task_losses[d].item()) for d in DOMAINS}
+                     | {"contra": float(contra.item())})
+    return losses, terms
 
 
 def run_jax(params, batches, masks, steps):
@@ -148,9 +151,10 @@ def run_jax(params, batches, masks, steps):
             params, {}, batch, mask_info, jax.random.PRNGKey(0)
         )
         updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+        return optax.apply_updates(params, updates), opt_state, loss, metrics
 
     losses = []
+    terms = []  # per-step loss components, mirrors run_torch
     for i in range(steps):
         nb = batches[i % len(batches)]
         batch = {d: jnp.asarray(nb[d]) for d in DOMAINS}
@@ -163,9 +167,11 @@ def run_jax(params, batches, masks, steps):
             for d in DOMAINS
         }
         mi = masking.mask_info_from_task_masks(tm, DOMAINS, E)
-        params, opt_state, loss = step(params, opt_state, batch, mi)
+        params, opt_state, loss, metrics = step(params, opt_state, batch, mi)
         losses.append(float(loss))
-    return params, model, losses
+        terms.append({d: float(metrics[f"{d}_loss"]) for d in DOMAINS}
+                     | {"contra": float(metrics["contra_loss"])})
+    return params, model, losses, terms
 
 
 def masked_psnr_jax(model, params, nb, mask, data_range: float):
@@ -253,11 +259,23 @@ def main():
     params = convert_multimae_state(state, DOMAINS, DOMAINS, CHANNELS,
                                     patch_size=PATCH, depth=2, decoder_depth=2)
 
-    losses_t = run_torch(model_t, batches, masks, args.steps)
-    params_j, model_j, losses_j = run_jax(params, batches, masks, args.steps)
+    losses_t, terms_t = run_torch(model_t, batches, masks, args.steps)
+    params_j, model_j, losses_j, terms_j = run_jax(params, batches, masks,
+                                                   args.steps)
 
     lt, lj = np.asarray(losses_t), np.asarray(losses_j)
     rel = np.abs(lt - lj) / np.abs(lt)
+    # per-term worst offenders (round-4 verdict Do#2: name the term that
+    # diverges at the outlier steps)
+    term_keys = list(terms_t[0])
+    worst_terms = {}
+    for k in term_keys:
+        at = np.asarray([t[k] for t in terms_t])
+        aj = np.asarray([t[k] for t in terms_j])
+        dr = np.abs(at - aj) / np.maximum(np.abs(at), 1e-8)
+        i = int(np.argmax(dr))
+        worst_terms[k] = {"max_rel_diff": float(dr[i]), "at_step": i,
+                          "torch": float(at[i]), "jax": float(aj[i])}
     psnr_t = masked_psnr_torch(model_t, eval_batch, eval_mask, data_range)
     psnr_j = masked_psnr_jax(model_j, params_j, eval_batch, eval_mask,
                              data_range)
@@ -273,14 +291,26 @@ def main():
         "masked_psnr_torch": psnr_t,
         "masked_psnr_jax": psnr_j,
         "psnr_abs_diff": {d: abs(psnr_t[d] - psnr_j[d]) for d in DOMAINS},
+        "worst_terms": worst_terms,
         "losses_torch": [float(v) for v in lt],
         "losses_jax": [float(v) for v in lj],
+        "terms_torch": terms_t,
+        "terms_jax": terms_j,
     }
     print(json.dumps({k: v for k, v in result.items()
                       if not k.startswith("losses_")}, indent=2))
     if args.out:
+        # merge under 'pretrain' so the downstream record (written by
+        # tools/parity_trajectory_downstream.py) survives a re-run
+        merged = {}
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                merged = json.load(f)
+        if "pretrain" not in merged and "downstream" not in merged:
+            merged = {}
+        merged["pretrain"] = result
         with open(args.out, "w") as f:
-            json.dump(result, f, indent=2)
+            json.dump(merged, f, indent=2)
 
 
 if __name__ == "__main__":
