@@ -345,10 +345,15 @@ def criterion_losses(
     oversample_ratio: float = 3.0,
     importance_sample_ratio: float = 0.75,
     dense_masks: bool = False,
+    point_coords_override: Optional[jnp.ndarray] = None,  # [B*G, P, 2]
 ) -> Dict[str, jnp.ndarray]:
     """loss_labels + loss_masks for one prediction level
     (criterion_ins.py:153-221; dense_masks=True reproduces the semantic
-    variant where point sampling is disabled, criterion_seg.py:169-204)."""
+    variant where point sampling is disabled, criterion_seg.py:169-204).
+    ``point_coords_override`` replaces PointRend's sampled coords — used by
+    the trajectory-parity harness to evaluate the loss at the REFERENCE's
+    drawn points, making the comparison exact instead of estimator-noise
+    bounded (round-4 verdict Do#4)."""
     b, q, _ = pred_logits.shape
     g = targets.labels.shape[1]
 
@@ -385,10 +390,13 @@ def criterion_losses(
     else:
         src_f = src.reshape(b * g, *src.shape[2:])
         tgt_f = tgt.reshape(b * g, *tgt.shape[2:])
-        coords = uncertain_point_coords(
-            key, jax.lax.stop_gradient(src_f), num_points,
-            oversample_ratio, importance_sample_ratio,
-        )
+        if point_coords_override is not None:
+            coords = point_coords_override
+        else:
+            coords = uncertain_point_coords(
+                key, jax.lax.stop_gradient(src_f), num_points,
+                oversample_ratio, importance_sample_ratio,
+            )
         pl_ = point_sample(src_f, coords)
         tl_ = jax.lax.stop_gradient(point_sample(tgt_f, coords))
 
@@ -415,6 +423,7 @@ def set_criterion(
     exact_match: bool = True,
     match_mode: Optional[str] = None,  # 'exact' | 'auction' | 'greedy'
     matched_override: Optional[jnp.ndarray] = None,  # [L, B, G]
+    point_coords_override: Optional[jnp.ndarray] = None,  # [L, B*G, P, 2]
 ) -> Dict[str, jnp.ndarray]:
     """Full criterion incl. aux levels (criterion_ins.py:224-278).
 
@@ -422,6 +431,8 @@ def set_criterion(
     per-level assignments (level order: final, aux 0, aux 1, ...) — the
     second half of the ``exact_host`` split step (see ``set_criterion_costs``
     for the first half and the key-sequence contract).
+    ``point_coords_override`` (same level order) evaluates the mask losses
+    at externally drawn PointRend coords (see ``criterion_losses``).
     """
     num_masks = jnp.maximum(jnp.sum(targets.valid.astype(jnp.float32)), 1.0)
     losses = {}
@@ -442,6 +453,8 @@ def set_criterion(
             out["pred_logits"], out["pred_masks"], targets, matched, k_pts,
             num_classes, num_masks, eos_coef, num_points, oversample_ratio,
             importance_sample_ratio, dense_masks,
+            point_coords_override=(None if point_coords_override is None
+                                   else point_coords_override[li]),
         )
         suffix = "" if tag is None else f"_{tag}"
         losses.update({k + suffix: v for k, v in l.items()})

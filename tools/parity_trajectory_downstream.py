@@ -169,16 +169,58 @@ def run_torch(batches, targets_np, plan, steps):
         device=torch.device("cpu"))
     opt = torch.optim.AdamW(model.parameters(), lr=LR, weight_decay=0.0)
 
+    # ---- record the reference's remaining per-step randomness so the JAX
+    # run can inject it (round-4 verdict Do#4: exact, not noise-bounded):
+    #   * matcher assignments (level order: final, aux 0..DEC-1)
+    #   * PointRend point coords drawn inside loss_masks (same order)
+    step_coords: list = []
+    step_matches: list = []
+    orig_pts = crit.get_uncertain_point_coords_with_randomness
+
+    def rec_pts(src, fn, n, osr, isr):
+        c = orig_pts(src, fn, n, osr, isr)
+        step_coords.append(c.detach().numpy().copy())
+        return c
+
+    crit.get_uncertain_point_coords_with_randomness = rec_pts
+    inner_matcher = criterion.matcher
+
+    class _RecMatcher(torch.nn.Module):
+        @torch.no_grad()
+        def forward(self, outputs, targets):
+            idx = inner_matcher(outputs, targets)
+            step_matches.append([
+                (s.numpy().copy(), t.numpy().copy()) for s, t in idx])
+            return idx
+
+    criterion.matcher = _RecMatcher()
+
     tgt = [{"labels": torch.from_numpy(t["labels"]),
             "masks": torch.from_numpy(t["masks"])} for t in targets_np]
-    losses, terms = [], []
+    losses, terms, injections = [], [], []
     model.train()
     for i in range(steps):
         nb = batches[i % len(batches)]
         x = {d: torch.from_numpy(nb[d].transpose(0, 3, 1, 2)).contiguous()
              for d in DOMAINS}
         outputs = model(x)
+        step_coords.clear()
+        step_matches.clear()
         ld = criterion(outputs, tgt)
+        b = len(tgt)
+        g = max(len(t["labels"]) for t in tgt)
+        n_lvl = len(step_matches)
+        matched = np.zeros((n_lvl, b, g), np.int32)
+        coords = np.zeros((n_lvl, b * g, NUM_POINTS, 2), np.float32)
+        for l in range(n_lvl):
+            for bi, (srcs, tgts) in enumerate(step_matches[l]):
+                for j, (s_, t_) in enumerate(zip(srcs, tgts)):
+                    matched[l, bi, t_] = s_
+                    # reference row order: batch-major, pairs in matcher
+                    # order within the image (criterion_ins.py
+                    # _get_src_permutation_idx)
+                    coords[l, bi * g + t_] = step_coords[l][bi * g + j]
+        injections.append({"matched": matched, "coords": coords})
         ce = dice = mask = 0.0
         for k_ in list(ld.keys()):
             if k_ in weight_dict:
@@ -195,10 +237,11 @@ def run_torch(batches, targets_np, plan, steps):
         opt.step()
         losses.append(float(loss.item()))
         terms.append((float(ce), float(dice), float(mask)))
-    return state, losses, terms
+    crit.get_uncertain_point_coords_with_randomness = orig_pts
+    return state, losses, terms, injections
 
 
-def run_jax(state, batches, targets_np, plan, steps):
+def run_jax(state, batches, targets_np, plan, steps, injections):
     import jax
     import jax.numpy as jnp
     import optax
@@ -232,14 +275,19 @@ def run_jax(state, batches, targets_np, plan, steps):
     opt_state = tx.init(params)
 
     # loss mirrors train/downstream.make_downstream_train_step:197-224
-    # with the ake150 weights (ce 2 / mask 5 / dice 5, mix 0.3/0.3/0.4)
-    def loss_fn(params, batch, mi, present, key):
+    # with the ake150 weights (ce 2 / mask 5 / dice 5, mix 0.3/0.3/0.4).
+    # The reference run's matcher assignments AND PointRend point coords are
+    # injected (matched_override / point_coords_override), so every
+    # remaining stochastic input is shared and the comparison is exact.
+    def loss_fn(params, batch, mi, present, key, matched, coords):
         out = model.apply({"params": params}, batch, mask_info=mi,
                           num_encoded_tokens=e_static, present=present)
         out = jax.tree.map(lambda x: x.astype(jnp.float32), out)
         ld = set_criterion(out, tgts, key, num_classes=K, eos_coef=0.1,
                            num_points=NUM_POINTS, match_mode="exact",
-                           cost_class=2.0, cost_mask=5.0, cost_dice=5.0)
+                           cost_class=2.0, cost_mask=5.0, cost_dice=5.0,
+                           matched_override=matched,
+                           point_coords_override=coords)
         ce = 2.0 * sum(v for k_, v in ld.items() if k_.startswith("loss_ce"))
         dice = 5.0 * sum(
             v for k_, v in ld.items() if k_.startswith("loss_dice"))
@@ -249,9 +297,10 @@ def run_jax(state, batches, targets_np, plan, steps):
         return total, (ce, dice, mask)
 
     @jax.jit
-    def step(params, opt_state, batch, mi, present, key):
+    def step(params, opt_state, batch, mi, present, key, matched, coords):
         (loss, terms), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params, batch, mi, present, key)
+            loss_fn, has_aux=True)(params, batch, mi, present, key,
+                                   matched, coords)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss, terms
 
@@ -267,8 +316,10 @@ def run_jax(state, batches, targets_np, plan, steps):
         mi = masking.mask_info_from_task_masks(tm, DOMAINS, e_static)
         present = jnp.asarray(
             [t in p["present"] for t in range(len(DOMAINS))])
+        inj = injections[i]
         params, opt_state, loss, tms = step(
-            params, opt_state, batch, mi, present, jax.random.PRNGKey(i))
+            params, opt_state, batch, mi, present, jax.random.PRNGKey(i),
+            jnp.asarray(inj["matched"]), jnp.asarray(inj["coords"]))
         losses.append(float(loss))
         terms.append(tuple(float(v) for v in tms))
     return losses, terms
@@ -297,9 +348,10 @@ def main():
     plan = draw_step_masks(rng, args.steps)
     targets_np = make_targets(rng, args.batch)
 
-    state, losses_t, terms_t = run_torch(batches, targets_np, plan,
-                                         args.steps)
-    losses_j, terms_j = run_jax(state, batches, targets_np, plan, args.steps)
+    state, losses_t, terms_t, injections = run_torch(batches, targets_np,
+                                                     plan, args.steps)
+    losses_j, terms_j = run_jax(state, batches, targets_np, plan, args.steps,
+                                injections)
 
     lt, lj = np.asarray(losses_t), np.asarray(losses_j)
     rel = np.abs(lt - lj) / np.abs(lt)
@@ -312,9 +364,10 @@ def main():
         "final_rel_loss_diff": float(rel[-1]),
         "loss_decreased_torch": bool(lt[-1] < lt[0]),
         "loss_decreased_jax": bool(lj[-1] < lj[0]),
-        "note": "PointRend point sampling is framework-private RNG "
-                "(12544 pts => ~1% loss estimator noise); masks/subsets/"
-                "matching are pinned identical",
+        "note": "EXACT comparison (round-5): masks, modality subsets, "
+                "matcher assignments AND PointRend point coords are all "
+                "recorded from the reference run and injected into the JAX "
+                "criterion — no framework-private randomness remains",
         "losses_torch": [float(v) for v in lt],
         "losses_jax": [float(v) for v in lj],
     }
