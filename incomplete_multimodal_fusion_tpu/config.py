@@ -140,6 +140,14 @@ MODEL_SIZES: Dict[str, ModelConfig] = {
     "tiny": ModelConfig(dim_tokens=192, depth=12, dim_head=64, heads=3),
     "base": ModelConfig(dim_tokens=768, depth=12, dim_head=64, heads=8),
     "large": ModelConfig(dim_tokens=1024, depth=24, dim_head=64, heads=8),
+    # TPU-native geometry (round 5): NOT checkpoint-compatible with the
+    # reference's tiny (whose dh=64 halves the MXU contraction width — the
+    # round-4 roofline's one far-off-peak kernel). dh=128 makes every head
+    # slice a full lane tile and every attention contraction a full MXU
+    # pass; dim 256 keeps all projections 128-multiple. Same depth/loss/
+    # capability surface — this is the geometry a from-scratch TPU user
+    # should pretrain with (tools/bench_native_geometry.py measures it).
+    "tiny_tpu": ModelConfig(dim_tokens=256, depth=12, dim_head=128, heads=2),
 }
 
 

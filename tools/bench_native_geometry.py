@@ -1,0 +1,117 @@
+"""TPU-native geometry demo (round-4 verdict Do#1b): the SAME training step
+at the `tiny_tpu` head geometry (256d, 2 heads x dh=128) next to the
+reference-parity geometry (192d, 3 x dh=64), same-session A/B.
+
+The parity config's attention forward is structurally bound at ~34 TF/s by
+dh=64 (round-4 residue accounting; the roofline table quantifies it). dh=128
+doubles the MXU contraction width of every attention matmul and makes each
+head slice one full 128-lane tile. This tool records, for BOTH configs in
+one tunnel session:
+
+  * wall ms/step and patches/s/chip,
+  * MFU: FLOPs from the all-XLA variant's compiled cost analysis (cached
+    in BENCH_FLOPS_CACHE-style keying) against the chip's bf16 peak.
+
+Writes the `tpu_native_geometry` record into BENCH_EXTRA.json.
+
+Usage: python tools/bench_native_geometry.py [--steps 20]
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PEAK = 197e12  # v5e bf16
+
+
+def measure(cfg, n_steps: int):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from incomplete_multimodal_fusion_tpu.train import pretrain
+    from incomplete_multimodal_fusion_tpu.data.synthetic import synthetic_batch
+
+    model, state, tx = pretrain.create_train_state(
+        cfg, jax.random.PRNGKey(0), total_steps=1000)
+    step = jax.jit(pretrain.make_train_step(model, cfg, tx), donate_argnums=0)
+    batch = {k: jnp.asarray(v) for k, v in synthetic_batch(
+        np.random.default_rng(0), cfg.data.in_domains, cfg.data.batch_size,
+        cfg.data.input_size).items()}
+    for _ in range(3):
+        state, metrics = step(state, batch)
+    float(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, metrics = step(state, batch)
+    loss = float(metrics["loss"])
+    dt = (time.perf_counter() - t0) / n_steps
+
+    # FLOPs: all-XLA variant of the same math, compile-for-counting only
+    cfg_xla = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, attn_impl="xla"))
+    model_x, state_x, tx_x = pretrain.create_train_state(
+        cfg_xla, jax.random.PRNGKey(0), total_steps=1000)
+    step_x = jax.jit(pretrain.make_train_step(model_x, cfg_xla, tx_x))
+    cost = step_x.lower(state_x, batch).compile().cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0]
+    flops = float(cost.get("flops", 0.0))
+    b = cfg.data.batch_size
+    pps = cfg.data.num_patches * len(cfg.data.in_domains)
+    return {
+        "ms_per_step": round(dt * 1e3, 2),
+        "patches_per_sec": round(b * pps / dt, 1),
+        "tflop_per_step": round(flops / 1e12, 3),
+        "mfu_pct": round(100.0 * flops / dt / PEAK, 2),
+        "loss_finite": bool(np.isfinite(loss)),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=20)
+    args = ap.parse_args()
+
+    from incomplete_multimodal_fusion_tpu.config import (
+        MODEL_SIZES, DataConfig, MaskConfig, PretrainConfig,
+    )
+
+    data = DataConfig(input_size=256, patch_size=16,
+                      in_domains=("s1", "s2"), out_domains=("s1", "s2"),
+                      batch_size=60)
+    mask = MaskConfig(num_encoded_tokens=384)
+    parity = PretrainConfig(data=data, mask=mask)  # tiny 192d/3x64
+    native = PretrainConfig(model=MODEL_SIZES["tiny_tpu"], data=data,
+                            mask=mask)
+
+    res_parity = measure(parity, args.steps)
+    res_native = measure(native, args.steps)
+    rec = {
+        "metric": "tpu_native_geometry",
+        "value": res_native["mfu_pct"],
+        "unit": "% MFU (tiny_tpu 256d/2x128 vs parity 192d/3x64, "
+                "same session, batch 60, bf16)",
+        "native": res_native,
+        "parity": res_parity,
+    }
+    print(json.dumps(rec), flush=True)
+    path = os.path.join(ROOT, "BENCH_EXTRA.json")
+    extra = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            extra = json.load(f)
+    extra["tpu_native_geometry"] = rec
+    with open(path, "w") as f:
+        json.dump(extra, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
