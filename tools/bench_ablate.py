@@ -14,6 +14,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from incomplete_multimodal_fusion_tpu.utils.compile_cache import enable as _enable_compile_cache
+_enable_compile_cache()
+
 import jax
 import jax.numpy as jnp
 import numpy as np

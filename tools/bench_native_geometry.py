@@ -27,6 +27,9 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from incomplete_multimodal_fusion_tpu.utils.compile_cache import enable as _enable_compile_cache
+_enable_compile_cache()
+
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PEAK = 197e12  # v5e bf16
 

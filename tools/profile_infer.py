@@ -22,6 +22,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from incomplete_multimodal_fusion_tpu.utils.compile_cache import enable as _enable_compile_cache
+_enable_compile_cache()
+
 
 def main():
     import jax

@@ -16,6 +16,9 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from incomplete_multimodal_fusion_tpu.utils.compile_cache import enable as _enable_compile_cache
+_enable_compile_cache()
+
 
 def capture(out_dir: str, n_steps: int):
     import jax

@@ -43,6 +43,9 @@ from collections import defaultdict
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from incomplete_multimodal_fusion_tpu.utils.compile_cache import enable as _enable_compile_cache
+_enable_compile_cache()
+
 PEAK_FLOPS = 197e12  # bf16
 PEAK_BW = 819e9      # HBM bytes/s
 RIDGE = PEAK_FLOPS / PEAK_BW  # ~240 flop/byte
