@@ -37,21 +37,21 @@ from jax.experimental.pallas import tpu as pltpu
 from .pallas_common import interpret_mode
 
 
-def _head_slots(q_ref, kvg_ref, kvf_ref, hh, t_mod, f, inner, dh, scale):
+def _head_slots(q_ref, kvg_ref, kvf_ref, j, hh, t_mod, f, inner, dh, scale):
     """Per-head views: scaled f32 query, f32 keys, activation-dtype values
     (FusionBlockFast numerics: q*scale in the activation dtype then cast
     f32, keys cast f32 for the sim, values stay bf16 for the mix)."""
     sl = slice(hh * dh, (hh + 1) * dh)
     vsl = slice(inner + hh * dh, inner + (hh + 1) * dh)
-    q = q_ref[0, :, sl]
+    q = q_ref[j, :, sl]
     qh = (q * jnp.asarray(scale, q.dtype)).astype(jnp.float32)  # [F, dh]
     ks, vs = [], []
     for t in range(t_mod):
         rows = slice(t * f, (t + 1) * f)
-        ks.append(kvg_ref[0, rows, sl].astype(jnp.float32))
-        vs.append(kvg_ref[0, rows, vsl])
-    ks.append(kvf_ref[0, :, sl].astype(jnp.float32))
-    vs.append(kvf_ref[0, :, vsl])
+        ks.append(kvg_ref[j, rows, sl].astype(jnp.float32))
+        vs.append(kvg_ref[j, rows, vsl])
+    ks.append(kvf_ref[j, :, sl].astype(jnp.float32))
+    vs.append(kvf_ref[j, :, vsl])
     return qh, ks, vs
 
 
@@ -67,60 +67,75 @@ def _softmax_slots(sims):
     return [e / denom for e in es]
 
 
-def _fwd_kernel(q_ref, kvg_ref, kvf_ref, o_ref, *, t_mod, heads, dh, scale):
+def _fwd_kernel(q_ref, kvg_ref, kvf_ref, o_ref, *, t_mod, heads, dh, scale,
+                nb=1):
     f = q_ref.shape[1]
     inner = heads * dh
-    for hh in range(heads):
-        qh, ks, vs = _head_slots(q_ref, kvg_ref, kvf_ref, hh, t_mod, f,
-                                 inner, dh, scale)
-        sims = [jnp.sum(qh * k, axis=-1, keepdims=True) for k in ks]
-        attn = _softmax_slots(sims)
-        # the mix runs in the activation dtype, matching the module's
-        # attn.astype(v.dtype) * v summed over slots
-        out = attn[0].astype(o_ref.dtype) * vs[0]
-        for a, v in zip(attn[1:], vs[1:]):
-            out = out + a.astype(o_ref.dtype) * v
-        o_ref[0, :, hh * dh:(hh + 1) * dh] = out.astype(o_ref.dtype)
+    for j in range(nb):
+        for hh in range(heads):
+            qh, ks, vs = _head_slots(q_ref, kvg_ref, kvf_ref, j, hh, t_mod, f,
+                                     inner, dh, scale)
+            sims = [jnp.sum(qh * k, axis=-1, keepdims=True) for k in ks]
+            attn = _softmax_slots(sims)
+            # the mix runs in the activation dtype, matching the module's
+            # attn.astype(v.dtype) * v summed over slots
+            out = attn[0].astype(o_ref.dtype) * vs[0]
+            for a, v in zip(attn[1:], vs[1:]):
+                out = out + a.astype(o_ref.dtype) * v
+            o_ref[j, :, hh * dh:(hh + 1) * dh] = out.astype(o_ref.dtype)
 
 
 def _bwd_kernel(q_ref, kvg_ref, kvf_ref, do_ref,
-                dq_ref, dkvg_ref, dkvf_ref, *, t_mod, heads, dh, scale):
+                dq_ref, dkvg_ref, dkvf_ref, *, t_mod, heads, dh,
+                scale, nb=1):
     f = q_ref.shape[1]
     inner = heads * dh
-    for hh in range(heads):
-        sl = slice(hh * dh, (hh + 1) * dh)
-        vsl = slice(inner + hh * dh, inner + (hh + 1) * dh)
-        qh, ks, vs = _head_slots(q_ref, kvg_ref, kvf_ref, hh, t_mod, f,
-                                 inner, dh, scale)
-        sims = [jnp.sum(qh * k, axis=-1, keepdims=True) for k in ks]
-        attn = _softmax_slots(sims)
-        do_bf = do_ref[0, :, sl]  # [F, dh] activation dtype
-        do = do_bf.astype(jnp.float32)
-        dattn = [jnp.sum(do * v.astype(jnp.float32), axis=-1, keepdims=True)
-                 for v in vs]
-        inner_sum = attn[0] * dattn[0]
-        for a, da in zip(attn[1:], dattn[1:]):
-            inner_sum = inner_sum + a * da
-        dsims = [a * (da - inner_sum) for a, da in zip(attn, dattn)]
-        # dq accumulates over slots; qh carried the scale, so dq does too
-        dq = dsims[0] * ks[0]
-        for ds, k in zip(dsims[1:], ks[1:]):
-            dq = dq + ds * k
-        dq_ref[0, :, sl] = (dq * scale).astype(dq_ref.dtype)
-        for t in range(t_mod):
-            rows = slice(t * f, (t + 1) * f)
-            dkvg_ref[0, rows, sl] = (dsims[t] * qh).astype(dkvg_ref.dtype)
-            dkvg_ref[0, rows, vsl] = (attn[t].astype(do_bf.dtype) * do_bf)
-        dkvf_ref[0, :, sl] = (dsims[t_mod] * qh).astype(dkvf_ref.dtype)
-        dkvf_ref[0, :, vsl] = attn[t_mod].astype(do_bf.dtype) * do_bf
+    for j in range(nb):
+        for hh in range(heads):
+            sl = slice(hh * dh, (hh + 1) * dh)
+            vsl = slice(inner + hh * dh, inner + (hh + 1) * dh)
+            qh, ks, vs = _head_slots(q_ref, kvg_ref, kvf_ref, j, hh, t_mod, f,
+                                     inner, dh, scale)
+            sims = [jnp.sum(qh * k, axis=-1, keepdims=True) for k in ks]
+            attn = _softmax_slots(sims)
+            do_bf = do_ref[j, :, sl]  # [F, dh] activation dtype
+            do = do_bf.astype(jnp.float32)
+            dattn = [jnp.sum(do * v.astype(jnp.float32), axis=-1, keepdims=True)
+                     for v in vs]
+            inner_sum = attn[0] * dattn[0]
+            for a, da in zip(attn[1:], dattn[1:]):
+                inner_sum = inner_sum + a * da
+            dsims = [a * (da - inner_sum) for a, da in zip(attn, dattn)]
+            # dq accumulates over slots; qh carried the scale, so dq does too
+            dq = dsims[0] * ks[0]
+            for ds, k in zip(dsims[1:], ks[1:]):
+                dq = dq + ds * k
+            dq_ref[j, :, sl] = (dq * scale).astype(dq_ref.dtype)
+            for t in range(t_mod):
+                rows = slice(t * f, (t + 1) * f)
+                dkvg_ref[j, rows, sl] = (dsims[t] * qh).astype(dkvg_ref.dtype)
+                dkvg_ref[j, rows, vsl] = (attn[t].astype(do_bf.dtype) * do_bf)
+            dkvf_ref[j, :, sl] = (dsims[t_mod] * qh).astype(dkvf_ref.dtype)
+            dkvf_ref[j, :, vsl] = attn[t_mod].astype(do_bf.dtype) * do_bf
 
 
-def _specs(f, t_mod, inner):
-    qspec = pl.BlockSpec((1, f, inner), lambda i: (i, 0, 0),
+def _batch_block(b: int, bytes_per_row: float, budget: float = 8e6) -> int:
+    """Largest divisor of b whose double-buffered blocked slabs fit VMEM —
+    batching rows per program amortizes per-program overhead (round-5
+    roofline: fwd+bwd at ~54% of their memory bounds with one-row
+    programs)."""
+    for nb in (6, 5, 4, 3, 2):
+        if b % nb == 0 and nb * bytes_per_row <= budget:
+            return nb
+    return 1
+
+
+def _specs(f, t_mod, inner, nb=1):
+    qspec = pl.BlockSpec((nb, f, inner), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
-    gspec = pl.BlockSpec((1, t_mod * f, 2 * inner), lambda i: (i, 0, 0),
+    gspec = pl.BlockSpec((nb, t_mod * f, 2 * inner), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
-    fspec = pl.BlockSpec((1, f, 2 * inner), lambda i: (i, 0, 0),
+    fspec = pl.BlockSpec((nb, f, 2 * inner), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     return qspec, gspec, fspec
 
@@ -142,11 +157,14 @@ def fusion_row_attention(q, kv_grid, kv_f, heads, dh):
 def _fwd_impl(q, kv_grid, kv_f, heads, dh, t_mod):
     b, f, inner = q.shape
     scale = dh ** -0.5
-    qspec, gspec, fspec = _specs(f, t_mod, inner)
+    # per row: q + t-major grid + fusion kv in, o out (double buffered)
+    nb = _batch_block(b, 2 * f * inner * (1 + 2 * t_mod + 2 + 1)
+                      * q.dtype.itemsize)
+    qspec, gspec, fspec = _specs(f, t_mod, inner, nb)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, t_mod=t_mod, heads=heads, dh=dh,
-                          scale=scale),
-        grid=(b,),
+                          scale=scale, nb=nb),
+        grid=(b // nb,),
         in_specs=[qspec, gspec, fspec],
         out_specs=qspec,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
@@ -162,11 +180,14 @@ def _bwd_rule(heads, dh, t_mod, res, do):
     q, kv_grid, kv_f = res
     b, f, inner = q.shape
     scale = dh ** -0.5
-    qspec, gspec, fspec = _specs(f, t_mod, inner)
+    # per row: (q + grid + kv_f + do) in and (dq + dgrid + dkv_f) out
+    nb = _batch_block(b, 2 * f * inner * (2 * (1 + 2 * t_mod + 2) + 1)
+                      * q.dtype.itemsize)
+    qspec, gspec, fspec = _specs(f, t_mod, inner, nb)
     dq, dkvg, dkvf = pl.pallas_call(
         functools.partial(_bwd_kernel, t_mod=t_mod, heads=heads, dh=dh,
-                          scale=scale),
-        grid=(b,),
+                          scale=scale, nb=nb),
+        grid=(b // nb,),
         in_specs=[qspec, gspec, fspec, qspec],
         out_specs=(qspec, gspec, fspec),
         out_shape=(
