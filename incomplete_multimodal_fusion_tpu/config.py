@@ -148,6 +148,10 @@ MODEL_SIZES: Dict[str, ModelConfig] = {
     # capability surface — this is the geometry a from-scratch TPU user
     # should pretrain with (tools/bench_native_geometry.py measures it).
     "tiny_tpu": ModelConfig(dim_tokens=256, depth=12, dim_head=128, heads=2),
+    # base-class TPU-native geometry: the reference's base (768d, 8x64,
+    # multimae_crossattn.py:588-599) re-headed to 6x128 — full-lane head
+    # slices, 6-tile (768-deep) MXU contractions on every projection.
+    "base_tpu": ModelConfig(dim_tokens=768, depth=12, dim_head=128, heads=6),
 }
 
 
