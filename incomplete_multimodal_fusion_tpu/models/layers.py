@@ -112,7 +112,7 @@ class Mlp(nn.Module):
         m = 1
         for s in x.shape[:-1]:
             m *= s
-        if use_pallas and mlp_supported(m, hidden):
+        if use_pallas and mlp_supported(m, hidden, dim, x.dtype.itemsize):
             fn = mlp_ffn_auto if use_pallas == "auto" else mlp_ffn
             y = fn(x.reshape(m, dim), k1.astype(x.dtype),
                    b1[None].astype(x.dtype), k2.astype(x.dtype),
@@ -166,7 +166,7 @@ class GEGLUFeedForward(nn.Module):
         m = 1
         for s in x.shape[:-1]:
             m *= s
-        if use_pallas and ffn_supported(m, dim, inner):
+        if use_pallas and ffn_supported(m, dim, inner, x.dtype.itemsize):
             x2 = x.reshape(m, dim)
             fn = geglu_ffn_auto if use_pallas == "auto" else geglu_ffn
             # gamma stays at param precision — the kernel's norm runs in f32

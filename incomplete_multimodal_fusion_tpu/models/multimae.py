@@ -467,7 +467,7 @@ class MultiMAE(nn.Module):
         # PAD-coded types drive both the Pallas kernel (mask recomputed
         # in-VMEM) and the XLA fallback mask
         types_padded = jnp.where(valid, types, PAD_TYPE)
-        use_pallas = resolve_attn_mode(self.attn_impl, e + f)
+        use_pallas = resolve_attn_mode(self.attn_impl, e + f, self.heads * self.dim_head)
 
         if self.fusion_mode == "crossattn":
             if self.kv_assembly == "gather":
@@ -586,7 +586,7 @@ def _multimae_forward_lstm(self, packed, fusion_full, mask_info, e, deterministi
 
     mod_types, slot_valid, types, valid, types_padded = self._gathered_layout(
         mask_info, e, b)
-    use_pallas = resolve_attn_mode(self.attn_impl, 2 * e)
+    use_pallas = resolve_attn_mode(self.attn_impl, 2 * e, self.heads * self.dim_head)
 
     for blk in self.blocks:
         tokens = blk(tokens, packed_types=types_padded, fusion_type=self.fusion_type,
@@ -632,7 +632,7 @@ def _multimae_forward_crossattn_v1(self, packed, fusion_full, mask_info,
 
     mod_types, slot_valid, types, valid, types_padded = self._gathered_layout(
         mask_info, e, b)
-    use_pallas = resolve_attn_mode(self.attn_impl, 2 * e)
+    use_pallas = resolve_attn_mode(self.attn_impl, 2 * e, self.heads * self.dim_head)
 
     onehot, use = self._grid_onehot(mask_info, e, dtype)  # [B, T*F, E]
     sel = jax.nn.one_hot(keep, f, dtype=dtype)  # [B, E, F] per-slot grid pick

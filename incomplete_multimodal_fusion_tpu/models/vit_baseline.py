@@ -224,7 +224,7 @@ class ViTBaseline(nn.Module):
         types = packed_token_types(mask_info.order, nums, e, f, self.fusion_type)
         valid = packed_valid(mask_info.num_visible, e, f)
         types_padded = jnp.where(valid, types, PAD_TYPE)
-        use_pallas = resolve_attn_mode(self.attn_impl, e + f)
+        use_pallas = resolve_attn_mode(self.attn_impl, e + f, self.heads * self.dim_head)
         # fusion-stack plane validity: absent modality planes are excluded
         # (reference drops them from the stack entirely, :645-655)
         plane_valid = jnp.concatenate([present, jnp.ones((1,), bool)])  # [T+1]

@@ -316,7 +316,20 @@ def zorro_self_attention(
     return out.reshape(b, h, n, dh).transpose(0, 2, 1, 3)
 
 
-def pallas_supported(n: int) -> bool:
+def attn_vmem_ok(n: int, inner: int) -> bool:
+    """Backward-pass working set of the packed slab kernel at nb=1:
+    double-buffered qkv/o/do/dqkv slabs (8*inner lanes per row) plus the
+    [N, N] f32 sim and exp planes must fit the VMEM scope. At inner=768
+    (base-class geometry) the slabs alone are ~16 MB, so the kernel
+    declines and the XLA masked-SDPA path serves."""
+    slabs = n * 8 * inner * 2 * 2
+    planes = 2 * n * n * 4
+    return slabs + planes <= 14e6
+
+
+def pallas_supported(n: int, inner: int = 0) -> bool:
+    if inner and n <= MAX_SLAB_TOKENS and not attn_vmem_ok(n, inner):
+        return False
     return n <= MAX_SLAB_TOKENS or (
         _q_tile(n) > 0 and n <= MAX_PALLAS_TOKENS
     )
@@ -912,15 +925,16 @@ def zorro_self_attention_auto(
     )
 
 
-def resolve_attn_mode(attn_impl: str, n: int):
+def resolve_attn_mode(attn_impl: str, n: int, inner: int = 0):
     """Map a config ``attn_impl`` to the block-level attention mode.
 
     Returns True ('pallas' forced), False (XLA fallback), or the string
     "auto" — resolved to Pallas-on-TPU / XLA-elsewhere at lowering time via
-    ``zorro_self_attention_auto``.
+    ``zorro_self_attention_auto``. ``inner`` (heads*dim_head), when given,
+    adds the VMEM feasibility check (attn_vmem_ok) for wide geometries.
     """
     if attn_impl == "pallas":
         return True
-    if attn_impl == "auto" and pallas_supported(n):
+    if attn_impl == "auto" and pallas_supported(n, inner):
         return "auto"
     return False

@@ -233,11 +233,26 @@ def _ffn_bwd(res, dy):
 geglu_ffn.defvjp(_ffn_fwd, _ffn_bwd)
 
 
-def ffn_supported(m: int, d: int, inner: int) -> bool:
-    """Row tiling must divide M; VMEM budget ~ (TM*2I + weights) f32."""
+VMEM_SCOPE = 14e6  # conservative slice of the 16 MB/core scoped limit
+
+
+def ffn_supported(m: int, d: int, inner: int, itemsize: int = 2) -> bool:
+    """Row tiling must divide M, AND the whole working set must fit the
+    VMEM scope: resident weights (itemsize-dependent — the f32 init trace
+    routes here too), the backward's f32 weight/gamma-grad accumulators
+    (d*2I + I*d + d floats, held across the entire row-tile grid), and the
+    tile buffers. At d=768 (base-class geometry) the accumulators alone are
+    ~19 MB, so the kernel correctly declines and the XLA fallback serves —
+    discovered via a Mosaic scoped-vmem OOM when base_tpu first compiled."""
     if os.environ.get("IMF_DISABLE_PALLAS_FFN"):  # ablation A/B (bench)
         return False
-    return _row_tile(m, inner) > 0
+    tm = _row_tile(m, inner)
+    if tm <= 0:
+        return False
+    weights = (d * 2 * inner + inner * d + d) * itemsize
+    bwd_accums = (d * 2 * inner + inner * d + d) * 4
+    tile = tm * 2 * inner * 4 * 3  # bwd transients (u, du, da)
+    return weights + bwd_accums + tile <= VMEM_SCOPE
 
 
 def geglu_ffn_xla(x, gamma, w_in, w_out):
@@ -408,7 +423,15 @@ def mlp_ffn_auto(x, w1, b1, w2, b2):
     )
 
 
-def mlp_supported(m: int, hidden: int) -> bool:
+def mlp_supported(m: int, hidden: int, d: int = 0, itemsize: int = 2) -> bool:
     if os.environ.get("IMF_DISABLE_PALLAS_FFN"):  # ablation A/B (bench)
         return False
-    return _row_tile(m, hidden // 2) > 0
+    tm = _row_tile(m, hidden // 2)
+    if tm <= 0:
+        return False
+    if d:  # same VMEM-scope model as ffn_supported (weights + f32 accums)
+        weights = (d * hidden + hidden * d + hidden + d) * itemsize
+        bwd_accums = (d * hidden + hidden * d + hidden + d) * 4
+        tile = tm * hidden * 4 * 3
+        return weights + bwd_accums + tile <= VMEM_SCOPE
+    return True

@@ -76,7 +76,7 @@ def make_pp_trunk(
 
     def trunk_fn(tokens, aux):
         e = tokens.shape[1] - f
-        use_pallas = resolve_attn_mode(model.attn_impl, e + f)
+        use_pallas = resolve_attn_mode(model.attn_impl, e + f, model.heads * model.dim_head)
 
         def block_fn(pair, toks, a):
             fusion_new = fus_tmpl.apply(
