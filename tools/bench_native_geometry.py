@@ -100,9 +100,11 @@ def main():
     native_b120 = dataclasses.replace(
         native, data=dataclasses.replace(data, batch_size=120))
     # base-class native geometry: 768d/6x128 — full-lane heads AND 6-tile
-    # contractions; the kernel-suite-at-scale demonstration
-    base_native = PretrainConfig(model=MODEL_SIZES["base_tpu"], data=data,
-                                 mask=mask)
+    # contractions; the kernel-suite-at-scale demonstration. Batch 30: the
+    # 12-layer activation stash at 768d overflows the 16 GB HBM at 60.
+    base_native = PretrainConfig(
+        model=MODEL_SIZES["base_tpu"],
+        data=dataclasses.replace(data, batch_size=30), mask=mask)
 
     res_parity = measure(parity, args.steps)
     res_native = measure(native, args.steps)
@@ -114,7 +116,7 @@ def main():
         "metric": "tpu_native_geometry",
         "value": best["mfu_pct"],
         "unit": "% MFU (best of tiny_tpu 256d/2x128 b60/b120 and base_tpu "
-                "768d/6x128 b60, vs parity 192d/3x64, same session, bf16)",
+                "768d/6x128 b30, vs parity 192d/3x64, same session, bf16)",
         "native": res_native,
         "native_b120": res_native_b120,
         "base_tpu": res_base,
