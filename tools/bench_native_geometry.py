@@ -2,11 +2,12 @@
 at the `tiny_tpu` head geometry (256d, 2 heads x dh=128) next to the
 reference-parity geometry (192d, 3 x dh=64), same-session A/B.
 
-The parity config's attention forward is structurally bound at ~34 TF/s by
-dh=64 (round-4 residue accounting; the roofline table quantifies it). dh=128
-doubles the MXU contraction width of every attention matmul and makes each
-head slice one full 128-lane tile. This tool records, for BOTH configs in
-one tunnel session:
+The parity config's attention matmuls are ceiling-bound by dh=64 (half the
+MXU's 128-deep systolic contraction — round-5 roofline, ROOFLINE.json).
+dh=128 doubles the MXU contraction width of every attention matmul and
+makes each head slice one full 128-lane tile; the base_tpu config
+additionally widens every projection contraction to 6 full tiles. This
+tool records, for all configs in one tunnel session:
 
   * wall ms/step and patches/s/chip,
   * MFU: FLOPs from the all-XLA variant's compiled cost analysis (cached
