@@ -139,7 +139,7 @@ def bench_downstream_pair(n_steps: int = 10, n_steps_exact: int = 4):
     valid[:, :2] = True
     targets = SegTargets(jnp.asarray(labels), jnp.asarray(masks), jnp.asarray(valid))
 
-    params = model.init(jax.random.PRNGKey(0), batch)["params"]
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)["params"]
     tx = ds.create_downstream_optimizer(params, lr=1e-4, clip_grad=0.01)
     state0 = ds.DownstreamState(
         step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params),

@@ -65,7 +65,10 @@ def init_model(model: MultiMAE, cfg: PretrainConfig, rng: jax.Array):
         batch_size=2,
     )
     total = cfg.data.num_patches * len(cfg.data.in_domains)
-    variables = model.init(rng, batch, mi, total)
+    # jit the init: eager flax init dispatches thousands of tiny ops —
+    # ~5 min through the tunneled backend vs seconds jitted (and the
+    # compiled init lands in the persistent compile cache)
+    variables = jax.jit(model.init, static_argnums=3)(rng, batch, mi, total)
     return variables["params"]
 
 

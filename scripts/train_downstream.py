@@ -221,7 +221,7 @@ def main():
 
         data_iter = synth_iter()
 
-    params = model.init(
+    params = jax.jit(model.init)(
         jax.random.PRNGKey(args.seed),
         {k: jnp.asarray(v) for k, v in next(iter([next(data_iter)]))[0].items()},
     )["params"]
