@@ -417,7 +417,20 @@ def main():
         emit({"metric": "serving_artifact_roundtrip",
               "error": "skipped: bench wall budget exhausted"})
 
-    # 6) quadruplet-path throughput (round-4 verdict Do#7) — the flash-
+    # 6) TPU-native geometry demo (round-4 verdict Do#1b): tiny_tpu
+    #    (256d/2x128) MFU next to the parity geometry, same session
+    if left() > 150:
+        try:
+            from tools.bench_native_geometry import main as native_main
+
+            native_main()
+        except Exception as exc:
+            emit({"metric": "tpu_native_geometry", "error": str(exc)[:200]})
+    else:
+        emit({"metric": "tpu_native_geometry",
+              "error": "skipped: bench wall budget exhausted"})
+
+    # 7) quadruplet-path throughput (round-4 verdict Do#7) — the flash-
     #    attention path's real consumer (N=1280); standalone tool persists
     #    its own record, emit-guard keeps the last success on budget skips
     if left() > 150:
@@ -429,19 +442,6 @@ def main():
             emit({"metric": "quadruplet_pretrain", "error": str(exc)[:200]})
     else:
         emit({"metric": "quadruplet_pretrain",
-              "error": "skipped: bench wall budget exhausted"})
-
-    # 7) TPU-native geometry demo (round-4 verdict Do#1b): tiny_tpu
-    #    (256d/2x128) MFU next to the parity geometry, same session
-    if left() > 150:
-        try:
-            from tools.bench_native_geometry import main as native_main
-
-            native_main()
-        except Exception as exc:
-            emit({"metric": "tpu_native_geometry", "error": str(exc)[:200]})
-    else:
-        emit({"metric": "tpu_native_geometry",
               "error": "skipped: bench wall budget exhausted"})
 
     if os.path.exists(REF_TIMING_FILE):

@@ -81,7 +81,8 @@ def measure(cfg, n_steps: int):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--b120", action="store_true")
     args = ap.parse_args()
 
     from incomplete_multimodal_fusion_tpu.config import (
@@ -109,19 +110,21 @@ def main():
 
     res_parity = measure(parity, args.steps)
     res_native = measure(native, args.steps)
-    res_native_b120 = measure(native_b120, args.steps)
     res_base = measure(base_native, args.steps)
-    best = max(res_native, res_native_b120, res_base,
+    results = {"native": res_native, "base_tpu": res_base,
+               "parity": res_parity}
+    if args.b120:  # one-off probe; measured NON-improving (37.8 vs 38.3%
+        # at b60 — fixed costs already amortized), so the driver-budgeted
+        # bench skips it
+        results["native_b120"] = measure(native_b120, args.steps)
+    best = max((r for k, r in results.items() if k != "parity"),
                key=lambda r: r["mfu_pct"])
     rec = {
         "metric": "tpu_native_geometry",
         "value": best["mfu_pct"],
-        "unit": "% MFU (best of tiny_tpu 256d/2x128 b60/b120 and base_tpu "
+        "unit": "% MFU (best of tiny_tpu 256d/2x128 b60 and base_tpu "
                 "768d/6x128 b30, vs parity 192d/3x64, same session, bf16)",
-        "native": res_native,
-        "native_b120": res_native_b120,
-        "base_tpu": res_base,
-        "parity": res_parity,
+        **results,
     }
     print(json.dumps(rec), flush=True)
     path = os.path.join(ROOT, "BENCH_EXTRA.json")
