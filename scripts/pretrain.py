@@ -28,7 +28,8 @@ def get_args():
     p.add_argument("--save_ckpt_freq", type=int, default=None)
     p.add_argument("--in_domains", type=str, default=None, help="hyphen separated")
     p.add_argument("--out_domains", type=str, default=None)
-    p.add_argument("--model_size", type=str, default="tiny", choices=["tiny", "base", "large"])
+    p.add_argument("--model_size", type=str, default="tiny",
+                   choices=["tiny", "base", "large", "tiny_tpu", "base_tpu"])
     p.add_argument("--fusion_mode", type=str, default=None,
                    choices=["crossattn", "zorro", "lstm"])
     p.add_argument("--use_ema", action="store_true", default=None,
