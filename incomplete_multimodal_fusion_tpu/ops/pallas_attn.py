@@ -45,6 +45,14 @@ MAX_SLAB_TOKENS = 768
 # path in round 1 (VERDICT weak #3).
 MAX_PALLAS_TOKENS = 4096
 
+# grids with no cross-program dependencies (disjoint output blocks, no
+# shared scratch) are marked 'parallel' — Mosaic double-buffers deeper and
+# the FFN fwd kernel measured 16% faster with it (round 5,
+# tools/bench_kernel_decompose.py). Scratch-accumulating grids (the tiled
+# backward's dk/dv) MUST stay 'arbitrary'.
+def _par(ndims: int):
+    return pltpu.CompilerParams(dimension_semantics=("parallel",) * ndims)
+
 
 def _q_tile(n: int) -> int:
     """Largest 128-multiple q-tile dividing n (0 if none divides).
@@ -228,6 +236,7 @@ def _zorro_attention_bhnd(q, k, v, types, heads, scale, fusion_type):
             functools.partial(_fwd_kernel_tiled, scale=scale,
                               fusion_type=fusion_type, tq=tq),
             grid=(bh, n // tq),
+            compiler_params=_par(2),
             in_specs=[tspec, qspec, kspec, kspec],
             out_specs=qspec,
             out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
@@ -237,6 +246,7 @@ def _zorro_attention_bhnd(q, k, v, types, heads, scale, fusion_type):
     return pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, fusion_type=fusion_type),
         grid=(bh,),
+        compiler_params=_par(1),
         in_specs=[tspec, qspec, qspec, qspec],
         out_specs=qspec,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
@@ -278,6 +288,7 @@ def _bwd(heads, scale, fusion_type, res, do):
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale, fusion_type=fusion_type),
         grid=(bh,),
+        compiler_params=_par(1),
         in_specs=[tspec, qspec, qspec, qspec, qspec, qspec],
         out_specs=(qspec, qspec, qspec),
         out_shape=(
@@ -698,6 +709,7 @@ def _packed_qkv_fwd_impl(qkv, types, heads, scale, fusion_type, split=0):
                           fusion_type=fusion_type, heads=heads, dh=dh, nb=nb,
                           split=split, fast=fast),
         grid=(b // nb,),
+        compiler_params=_par(1),
         in_specs=[tspec, qkvspec],
         out_specs=ospec,
         out_shape=jax.ShapeDtypeStruct((b, n, inner), qkv.dtype),
@@ -730,6 +742,7 @@ def _packed_qkv_bwd(heads, scale, fusion_type, split, res, do):
                           split=split,
                           fast=_fast_softmax() and _pow2(scale) and not split),
         grid=(b // nb,),
+        compiler_params=_par(1),
         in_specs=[tspec, qkvspec, ospec, ospec],
         out_specs=qkvspec,
         out_shape=jax.ShapeDtypeStruct(qkv.shape, qkv.dtype),
@@ -806,6 +819,7 @@ def _zorro_attention_packed(q, k, v, types, heads, scale, fusion_type):
         functools.partial(_fwd_kernel_packed, scale=scale,
                           fusion_type=fusion_type, heads=heads, dh=dh),
         grid=(b,),
+        compiler_params=_par(1),
         in_specs=[tspec, xspec, xspec, xspec],
         out_specs=xspec,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
@@ -828,6 +842,7 @@ def _packed_bwd(heads, scale, fusion_type, res, do):
         functools.partial(_bwd_kernel_packed, scale=scale,
                           fusion_type=fusion_type, heads=heads, dh=dh),
         grid=(b,),
+        compiler_params=_par(1),
         in_specs=[tspec, xspec, xspec, xspec, xspec, xspec],
         out_specs=(xspec, xspec, xspec),
         out_shape=(

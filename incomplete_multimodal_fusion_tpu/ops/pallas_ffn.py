@@ -30,6 +30,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_common import interpret_mode
 
+
+def _par(ndims: int):
+    """'parallel' dimension semantics for dependency-free grids (forward
+    row tiles) — Mosaic double-buffers deeper; measured 16% faster on the
+    GEGLU fwd (round 5, tools/bench_kernel_decompose.py). The backwards
+    accumulate weight grads in scratch across the grid and MUST stay
+    'arbitrary'."""
+    return pltpu.CompilerParams(dimension_semantics=("parallel",) * ndims)
+
 LN_EPS = 1e-5
 _SQRT_2 = 1.4142135623730951
 _INV_SQRT_2PI = 0.3989422804014327
@@ -191,6 +200,7 @@ def _ffn_fwd_impl(x, gamma, w_in, w_out):
     return pl.pallas_call(
         functools.partial(_fwd_kernel, inner=inner),
         grid=(m // tm,),
+        compiler_params=_par(1),
         in_specs=[xspec, gspec, winspec, woutspec],
         out_specs=xspec,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
@@ -364,6 +374,7 @@ def _mlp_fwd_impl(x, w1, b1, w2, b2):
     return pl.pallas_call(
         _mlp_fwd_kernel,
         grid=(m // tm,),
+        compiler_params=_par(1),
         in_specs=[xspec, w1s, b1s, w2s, b2s],
         out_specs=yspec,
         out_shape=jax.ShapeDtypeStruct((m, out), x.dtype),

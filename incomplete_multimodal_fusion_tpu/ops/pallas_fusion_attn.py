@@ -37,6 +37,13 @@ from jax.experimental.pallas import tpu as pltpu
 from .pallas_common import interpret_mode
 
 
+def _par(ndims: int):
+    """'parallel' grid semantics: every program writes disjoint output
+    blocks and no scratch is shared, so Mosaic may reorder/double-buffer
+    freely (16% on the GEGLU fwd, round 5)."""
+    return pltpu.CompilerParams(dimension_semantics=("parallel",) * ndims)
+
+
 def _head_slots(q_ref, kvg_ref, kvf_ref, j, hh, t_mod, f, inner, dh, scale):
     """Per-head views: scaled f32 query, f32 keys, activation-dtype values
     (FusionBlockFast numerics: q*scale in the activation dtype then cast
@@ -165,6 +172,7 @@ def _fwd_impl(q, kv_grid, kv_f, heads, dh, t_mod):
         functools.partial(_fwd_kernel, t_mod=t_mod, heads=heads, dh=dh,
                           scale=scale, nb=nb),
         grid=(b // nb,),
+        compiler_params=_par(1),
         in_specs=[qspec, gspec, fspec],
         out_specs=qspec,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
@@ -188,6 +196,7 @@ def _bwd_rule(heads, dh, t_mod, res, do):
         functools.partial(_bwd_kernel, t_mod=t_mod, heads=heads, dh=dh,
                           scale=scale, nb=nb),
         grid=(b // nb,),
+        compiler_params=_par(1),
         in_specs=[qspec, gspec, fspec, qspec],
         out_specs=(qspec, gspec, fspec),
         out_shape=(

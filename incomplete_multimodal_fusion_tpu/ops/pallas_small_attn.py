@@ -33,6 +33,13 @@ from jax.experimental.pallas import tpu as pltpu
 from .pallas_common import interpret_mode
 
 
+def _par(ndims: int):
+    """'parallel' grid semantics: every program writes disjoint output
+    blocks and no scratch is shared, so Mosaic may reorder/double-buffer
+    freely (16% on the GEGLU fwd, round 5)."""
+    return pltpu.CompilerParams(dimension_semantics=("parallel",) * ndims)
+
+
 def _fwd_kernel_qkv(qkv_ref, o_ref, *, heads: int, dh: int):
     """Fused-qkv variant: q/k/v are static lane slices of one [N, 3I] slab,
     so XLA never materializes split copies to feed the custom call.
@@ -129,6 +136,7 @@ def _fwd_qkv_impl(qkv, heads, dh):
     return pl.pallas_call(
         functools.partial(_fwd_kernel_qkv, heads=heads, dh=dh),
         grid=(b,),
+        compiler_params=_par(1),
         in_specs=[qkvspec],
         out_specs=ospec,
         out_shape=jax.ShapeDtypeStruct((b, n, heads * dh), qkv.dtype),
@@ -148,6 +156,7 @@ def _bwd_qkv_rule(heads, dh, res, dy):
     dqkv = pl.pallas_call(
         functools.partial(_bwd_kernel_qkv, heads=heads, dh=dh),
         grid=(b,),
+        compiler_params=_par(1),
         in_specs=[qkvspec, ospec, ospec],
         out_specs=qkvspec,
         out_shape=jax.ShapeDtypeStruct(qkv.shape, qkv.dtype),

@@ -180,12 +180,33 @@ def bench_ffn():
                        preferred_element_type=jnp.float32).astype(x.dtype)
 
     xla_dots = timed_chain(dots, x, w_in, w_out)
+
+    # dimension_semantics experiment: the fwd grid is pure row tiles (no
+    # cross-program deps) — 'parallel' may let Mosaic double-buffer deeper
+    def geglu_parallel(x, gamma, w_in, w_out):
+        m, d = x.shape
+        inner = w_out.shape[0]
+        tm = _row_tile(m, inner, n_bufs=2)
+        xspec, gspec, winspec, woutspec = _specs(m, d, inner, tm)
+        return pl.pallas_call(
+            functools.partial(_fwd_kernel_flags, inner=inner, do_norm=True,
+                              do_gelu=True),
+            grid=(m // tm,),
+            in_specs=[xspec, gspec, winspec, woutspec],
+            out_specs=xspec,
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
+        )(x, gamma, w_in, w_out)
+
+    par = timed_chain(geglu_parallel, x, gamma, w_in, w_out)
     piped2 = timed_chain(functools.partial(geglu_piped, chunks=2),
                          x, gamma, w_in, w_out)
     piped4 = timed_chain(functools.partial(geglu_piped, chunks=4),
                          x, gamma, w_in, w_out)
 
     out.update({
+        "parallel_semantics_ms": round(par, 3),
         "piped2_ms": round(piped2, 3), "piped4_ms": round(piped4, 3),
         "full_ms": round(full, 3), "no_gelu_ms": round(no_gelu, 3),
         "no_norm_ms": round(no_norm, 3), "matmuls_only_ms": round(mm_only, 3),
